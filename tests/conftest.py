@@ -1,0 +1,23 @@
+"""Test configuration: force CPU backend with 8 virtual devices so sharding
+tests run without TPU hardware. Set INSTASCENE_TEST_TPU=1 to run on real TPU."""
+
+import os
+
+if not os.environ.get("INSTASCENE_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,210 @@
+"""Data layer tests: COLMAP parsers, PLY I/O, camera matrices, scene assembly."""
+
+import math
+import os
+
+import numpy as np
+import pytest
+
+from instascene_tpu.cameras import (Camera, get_projection_matrix,
+                                    get_world2view, ndc2pix_matrix)
+from instascene_tpu.config import ModelParams
+from instascene_tpu.data.colmap import (qvec2rotmat, read_cameras_binary,
+                                        read_images_binary,
+                                        read_points3D_binary, rotmat2qvec)
+from instascene_tpu.data.dataset import Scene, read_colmap_scene
+from instascene_tpu.data.ply import (read_ply, read_point_cloud, write_ply,
+                                     write_point_cloud)
+from instascene_tpu.data.synthetic import make_synthetic_scene
+
+
+def test_qvec_roundtrip(rng):
+    for _ in range(10):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        if q[0] < 0:
+            q = -q
+        R = qvec2rotmat(q)
+        assert np.allclose(R @ R.T, np.eye(3), atol=1e-10)
+        q2 = rotmat2qvec(R)
+        assert np.allclose(q, q2, atol=1e-8)
+
+
+def test_colmap_binary_roundtrip(tmp_path):
+    xyz, rgb, cams = make_synthetic_scene(str(tmp_path), n_points=100, n_cams=3)
+    sparse = str(tmp_path / "sparse/0")
+    cameras = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+    images = read_images_binary(os.path.join(sparse, "images.bin"))
+    pts, colors, _ = read_points3D_binary(os.path.join(sparse, "points3D.bin"))
+    assert len(cameras) == 1 and cameras[1].model == "PINHOLE"
+    assert len(images) == 3
+    assert np.allclose(pts, xyz)
+    assert np.array_equal(colors, rgb)
+    # extrinsics round-trip
+    for i, cam in enumerate(cams):
+        im = images[i + 1]
+        assert np.allclose(qvec2rotmat(im.qvec), cam["R_w2c"], atol=1e-8)
+        assert np.allclose(im.tvec, cam["t"], atol=1e-12)
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    n = 50
+    arr = np.empty(n, dtype=[("x", "f4"), ("y", "f4"), ("opacity", "f4"),
+                             ("red", "u1")])
+    arr["x"] = rng.normal(size=n).astype(np.float32)
+    arr["y"] = rng.normal(size=n).astype(np.float32)
+    arr["opacity"] = rng.normal(size=n).astype(np.float32)
+    arr["red"] = rng.integers(0, 255, n).astype(np.uint8)
+    p = str(tmp_path / "test.ply")
+    write_ply(p, arr)
+    back = read_ply(p)["vertex"]
+    for name in arr.dtype.names:
+        assert np.array_equal(arr[name], back[name]), name
+    # header sanity
+    with open(p, "rb") as f:
+        head = f.read(200).decode("ascii", errors="ignore")
+    assert "binary_little_endian" in head
+    assert "property float x" in head
+    assert "property uchar red" in head
+
+
+def test_point_cloud_ply(tmp_path, rng):
+    xyz = rng.normal(size=(20, 3))
+    rgb = rng.random((20, 3))
+    p = str(tmp_path / "pc.ply")
+    write_point_cloud(p, xyz, rgb)
+    pts, colors, normals = read_point_cloud(p)
+    assert np.allclose(pts, xyz, atol=1e-6)
+    assert np.abs(colors - rgb).max() < 1.0 / 255 + 1e-6
+    assert np.allclose(normals, 0)
+
+
+def test_projection_matrix_conventions():
+    """A point on the optical axis at depth z maps to image center; clip w = z."""
+    fovx, fovy = 0.9, 0.7
+    W, H = 64, 48
+    proj = get_projection_matrix(0.01, 100.0, fovx, fovy)
+    p_view = np.array([0.0, 0.0, 5.0, 1.0])
+    clip = proj @ p_view
+    assert np.isclose(clip[3], 5.0)  # w == view z
+    ndc = clip[:3] / clip[3]
+    assert np.allclose(ndc[:2], 0.0, atol=1e-7)
+    # a point at the right frustum edge maps to ndc x == 1
+    x_edge = math.tan(fovx / 2) * 5.0
+    clip = proj @ np.array([x_edge, 0, 5.0, 1.0])
+    assert np.isclose(clip[0] / clip[3], 1.0)
+    # ndc2pix: ndc +1 -> pixel W-0.5... check ndc2Pix convention ((v+1)*S-1)/2
+    n2p = ndc2pix_matrix(W, H)
+    pix = n2p @ np.array([1.0, 0.0, 0.5, 1.0])
+    assert np.isclose(pix[0] / pix[2], ((1 + 1) * W - 1) / 2)
+
+
+def test_world2view_matches_reference_convention(rng):
+    """get_world2view(R, t) must equal the reference getWorld2View2 output."""
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    R_w2c = qvec2rotmat(q)
+    R = R_w2c.T  # reader convention
+    t = rng.normal(size=3)
+    w2v = get_world2view(R, t)
+    # reference: Rt[:3,:3] = R.T (= R_w2c); Rt[:3,3] = t
+    expect = np.eye(4)
+    expect[:3, :3] = R_w2c
+    expect[:3, 3] = t
+    assert np.allclose(w2v, expect, atol=1e-6)
+    # camera center: -R_w2c^T t
+    cam = Camera(uid=0, colmap_id=0, R=R, T=t, fovx=0.9, fovy=0.7,
+                 image_name="x", width=64, height=48)
+    assert np.allclose(cam.camera_center, -R_w2c.T @ t, atol=1e-5)
+
+
+def test_scene_assembly(tmp_path):
+    make_synthetic_scene(str(tmp_path / "parent" / "scene"), n_points=100,
+                         n_cams=4)
+    args = ModelParams(source_path=str(tmp_path / "parent" / "scene"))
+    scene = Scene(args, output_root=str(tmp_path / "out"))
+    cams = scene.get_train_cameras()
+    assert len(cams) == 4
+    assert cams[0].image.shape == (48, 64, 3)
+    assert cams[0].image.dtype == np.float32
+    assert scene.cameras_extent > 0
+    assert scene.scene_info.point_cloud.points.shape == (100, 3)
+    # eval split: every 8th held out
+    args2 = ModelParams(source_path=str(tmp_path / "parent" / "scene"),
+                        eval=True)
+    info = read_colmap_scene(args2.source_path, "images", True)
+    assert len(info.test_cameras) == 1 and len(info.train_cameras) == 3
+    # full_proj maps a world point in front of cam 0 into the frustum
+    c = cams[0]
+    p_world = np.array([0.0, 0.0, 0.0, 1.0])
+    clip = c.full_proj @ p_world
+    ndc = clip[:3] / clip[3]
+    assert np.all(np.abs(ndc[:2]) < 1.0)
+
+
+def test_sh_eval(rng):
+    import jax.numpy as jnp
+
+    from instascene_tpu.ops.sh import (RGB2SH, SH2RGB, eval_sh, eval_sh_np,
+                                       sh_to_color)
+    rgb = rng.random((5, 3))
+    assert np.allclose(SH2RGB(RGB2SH(rgb)), rgb, atol=1e-7)
+    sh = rng.normal(size=(5, 16, 3)).astype(np.float32)
+    dirs = rng.normal(size=(5, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    for deg in range(4):
+        a = np.asarray(eval_sh(deg, jnp.asarray(sh), jnp.asarray(dirs)))
+        b = eval_sh_np(deg, sh, dirs)
+        assert np.allclose(a, b, atol=1e-5), deg
+    # deg-0: constant color independent of direction
+    c0 = eval_sh_np(0, sh, dirs)
+    c0b = eval_sh_np(0, sh, -dirs)
+    assert np.allclose(c0, c0b)
+    # sh_to_color clamps at 0
+    col = np.asarray(sh_to_color(3, jnp.asarray(sh), jnp.zeros((5, 3)) + 1.0,
+                                 jnp.zeros(3)))
+    assert (col >= 0).all()
+
+
+def test_config_cli_parity():
+    from argparse import ArgumentParser
+
+    from instascene_tpu.config import (OptimizationParams, PipelineParams,
+                                       get_combined_args, save_cfg_args)
+    parser = ArgumentParser()
+    ModelParams.add_to_parser(parser)
+    OptimizationParams.add_to_parser(parser)
+    PipelineParams.add_to_parser(parser)
+    args = parser.parse_args(["-s", "/data/scene", "--iterations", "7000",
+                              "--use_seg_feature", "-r", "2"])
+    mp = ModelParams.extract(args)
+    op = OptimizationParams.extract(args)
+    assert mp.source_path == "/data/scene"
+    assert mp.resolution == 2
+    assert mp.use_seg_feature is True
+    assert mp.seg_feat_dim == 16
+    assert op.iterations == 7000
+    assert op.position_lr_init == 0.00016
+    assert op.sample_batchsize == 32 * 1024
+    assert op.lambda_3D_contras == 2.5e-6
+
+
+def test_expon_lr():
+    from instascene_tpu.utils.general import get_expon_lr_func
+    f = get_expon_lr_func(1e-2, 1e-4, max_steps=100)
+    assert np.isclose(f(0), 1e-2)
+    assert np.isclose(f(100), 1e-4)
+    assert np.isclose(f(50), np.sqrt(1e-2 * 1e-4))
+    assert f(-1) == 0.0
+
+
+def test_build_rotation(rng):
+    import jax.numpy as jnp
+
+    from instascene_tpu.utils.general import build_rotation, build_rotation_np
+    q = rng.normal(size=(7, 4)).astype(np.float32)
+    Rn = build_rotation_np(q)
+    Rj = np.asarray(build_rotation(jnp.asarray(q)))
+    assert np.allclose(Rn, Rj, atol=1e-5)
+    for i in range(7):
+        assert np.allclose(Rn[i] @ Rn[i].T, np.eye(3), atol=1e-5)
