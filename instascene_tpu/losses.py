@@ -1,0 +1,74 @@
+"""Training losses: L1, SSIM, cosine-normal, PSNR.
+
+Parity: reference utils/loss_utils.py (ssim with 11x11 gaussian window σ=1.5,
+C1=0.01², C2=0.03², same-padding conv) and utils/image_utils.py:21 (psnr).
+Images are channels-last [H,W,C]."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(pred, gt):
+    return jnp.mean(jnp.abs(pred - gt))
+
+
+def l2_loss(pred, gt):
+    return jnp.mean((pred - gt) ** 2)
+
+
+def cos_loss(pred, gt):
+    """1 - per-pixel dot product, averaged. pred/gt: [...,3] channels-last
+    (reference sums over the channel dim, loss_utils.py:22-23)."""
+    return jnp.mean(1.0 - jnp.sum(pred * gt, axis=-1))
+
+
+@functools.lru_cache()
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    return np.outer(g, g).astype(np.float32)
+
+
+def _window_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 2D conv with same padding. img [H,W,C]."""
+    c = img.shape[-1]
+    kernel = jnp.asarray(window)[:, :, None, None]
+    kernel = jnp.tile(kernel, (1, 1, 1, c))  # HWIO with feature_group_count=C
+    x = img[None]  # NHWC
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST)
+    return out[0]
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Mean SSIM over the image, channels-last [H,W,C]."""
+    w = _gaussian_window(window_size)
+    mu1 = _window_conv(img1, w)
+    mu2 = _window_conv(img2, w)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = _window_conv(img1 * img1, w) - mu1_sq
+    sigma2_sq = _window_conv(img2 * img2, w) - mu2_sq
+    sigma12 = _window_conv(img1 * img2, w) - mu1_mu2
+    c1, c2 = 0.01 ** 2, 0.03 ** 2
+    ssim_map = (((2 * mu1_mu2 + c1) * (2 * sigma12 + c2))
+                / ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)))
+    return jnp.mean(ssim_map)
+
+
+def psnr(img1, img2):
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 20 * jnp.log10(1.0 / jnp.sqrt(mse))
+
+
+def photometric_loss(image, gt_image, lambda_dssim: float):
+    """(1-λ)·L1 + λ·(1-SSIM)  (train.py:76-77)."""
+    ll1 = l1_loss(image, gt_image)
+    return (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(image, gt_image)), ll1

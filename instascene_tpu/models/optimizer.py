@@ -1,0 +1,108 @@
+"""Adam optimizer over the GaussianParams pytree with per-field learning rates.
+
+Matches torch.optim.Adam(lr per group, eps=1e-15) as configured by the
+reference (scene/gaussian_model.py:240-253): β=(0.9,0.999), eps added outside
+the sqrt, bias correction by a single global step count. Hand-rolled instead of
+optax so densification state surgery (zeroing m/v rows for new/pruned slots,
+reference :433-518) is a plain tree_map.
+
+Learning rates are passed per step as a dict (field → scalar, traced), so the
+exponential xyz schedule (utils/general_utils.py:38-71) never recompiles."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .gaussians import GaussianParams
+
+TRAINABLE_FIELDS = ("xyz", "features_dc", "features_rest", "scaling",
+                    "rotation", "opacity", "seg_feature")
+
+
+@struct.dataclass
+class AdamState:
+    m: GaussianParams
+    v: GaussianParams
+    count: jnp.ndarray  # scalar int32
+
+
+def init_adam_state(params: GaussianParams) -> AdamState:
+    def zeros_like_trainable(p):
+        return p.replace(**{f: jnp.zeros_like(getattr(p, f))
+                            for f in TRAINABLE_FIELDS
+                            if getattr(p, f) is not None})
+    z = zeros_like_trainable(params)
+    return AdamState(m=z, v=z, count=jnp.zeros((), jnp.int32))
+
+
+def geometry_lrs(opt, spatial_lr_scale: float, xyz_lr: float) -> Dict[str, float]:
+    """LR dict for geometry training (gaussian_model.py:240-247). `xyz_lr`
+    is the already-scheduled value (incl. spatial scale)."""
+    return {"xyz": xyz_lr,
+            "features_dc": opt.feature_lr,
+            "features_rest": opt.feature_lr / 20.0,
+            "opacity": opt.opacity_lr,
+            "scaling": opt.scaling_lr,
+            "rotation": opt.rotation_lr,
+            "seg_feature": 0.0}
+
+
+def semantic_lrs(opt) -> Dict[str, float]:
+    """Only seg_feature trains (gaussian_model.py:217-232)."""
+    return {f: 0.0 for f in TRAINABLE_FIELDS} | {
+        "seg_feature": opt.seg_feature_lr}
+
+
+def adam_step(params: GaussianParams, grads: GaussianParams, state: AdamState,
+              lrs: Dict[str, jnp.ndarray], b1: float = 0.9, b2: float = 0.999,
+              eps: float = 1e-15):
+    """One Adam step. Updates are masked by `alive` so dead capacity slots
+    never drift. Returns (new_params, new_state)."""
+    count = state.count + 1
+    c1 = 1.0 - b1 ** count.astype(jnp.float32)
+    c2 = 1.0 - b2 ** count.astype(jnp.float32)
+    alive = params.alive
+    updates = {}
+    new_m = {}
+    new_v = {}
+    for f in TRAINABLE_FIELDS:
+        p = getattr(params, f)
+        if p is None:
+            continue
+        g = getattr(grads, f)
+        if g is None:
+            g = jnp.zeros_like(p)
+        m = b1 * getattr(state.m, f) + (1 - b1) * g
+        v = b2 * getattr(state.v, f) + (1 - b2) * (g * g)
+        mhat = m / c1
+        vhat = v / c2
+        amask = alive.reshape((-1,) + (1,) * (p.ndim - 1))
+        upd = lrs[f] * mhat / (jnp.sqrt(vhat) + eps) * amask
+        updates[f] = p - upd
+        new_m[f] = m
+        new_v[f] = v
+    return (params.replace(**updates),
+            AdamState(m=state.m.replace(**new_m),
+                      v=state.v.replace(**new_v), count=count))
+
+
+def zero_state_rows(state: AdamState, row_mask: jnp.ndarray,
+                    fields=TRAINABLE_FIELDS) -> AdamState:
+    """Zero optimizer moments at rows where row_mask (parity with the
+    reference's exp_avg/exp_avg_sq zeroing on densify/replace)."""
+    def zero_rows(p: GaussianParams) -> GaussianParams:
+        upd = {}
+        for f in fields:
+            a = getattr(p, f)
+            if a is None:
+                continue
+            mask = row_mask.reshape((-1,) + (1,) * (a.ndim - 1))
+            upd[f] = jnp.where(mask, 0.0, a)
+        return p.replace(**upd)
+
+    return AdamState(m=zero_rows(state.m), v=zero_rows(state.v),
+                     count=state.count)

@@ -1,0 +1,122 @@
+"""Public differentiable splatting op: preprocess → bin → blend.
+
+The jit-facing equivalent of the reference's GaussianRasterizer
+(diff_surfel_rasterization/__init__.py:179-248). No custom autograd glue is
+needed: preprocess and blend are differentiable jnp (with exact reference
+clamp/skip semantics), and binning is index-only (stop_gradient). The
+"densification gradient hack" of the reference (backward.cu:652-655: the
+viewspace mean2D grad is overwritten with dL/dT[0,2], dL/dT[1,2] scaled to NDC)
+is reproduced with a zero-valued `t_offset` input added to T after the AABB is
+computed — jax.grad w.r.t. t_offset yields exactly the blend's dL/dT, which
+densify_stats() then scales the same way.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .binning import bin_gaussians
+from .blend import BlendOut, blend_tiles
+from .preprocess import preprocess_gaussians
+
+
+class CameraMats(NamedTuple):
+    """Static-shape camera bundle for the jitted render path."""
+    w2v: jnp.ndarray        # [4,4]
+    full_proj: jnp.ndarray  # [4,4]
+    campos: jnp.ndarray     # [3]
+
+
+@dataclass(frozen=True)
+class RasterizeConfig:
+    width: int
+    height: int
+    tile: int = 16
+    chunk: int = 32
+    pair_cap: int = 0        # 0 → auto: max(64*1024, 16*N)
+    tile_cap: int = 0        # 0 → auto: min(pair_cap, 4096)
+    track_contrib: bool = False
+
+    def resolved(self, n: int) -> "RasterizeConfig":
+        pair_cap = self.pair_cap or max(64 * 1024, 16 * n)
+        tile_cap = self.tile_cap or min(pair_cap, 4096)
+        tile_cap = ((tile_cap + self.chunk - 1) // self.chunk) * self.chunk
+        return RasterizeConfig(self.width, self.height, self.tile, self.chunk,
+                               pair_cap, tile_cap, self.track_contrib)
+
+
+class RasterizeOut(NamedTuple):
+    blend: BlendOut
+    radii: jnp.ndarray        # [N] int32 screen radius (0 → culled)
+    visible: jnp.ndarray      # [N] bool
+    depth: jnp.ndarray        # [N] per-gaussian view z
+    n_dropped: jnp.ndarray    # [] int32 binning overflow diagnostic
+    T: jnp.ndarray            # [N,3,3] splat→pixel transforms (pre-offset)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cfg"))
+def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
+                    campos, bg, colors, shs, extras, t_offset, alive,
+                    width, height, sh_degree, cfg: RasterizeConfig):
+    pre = preprocess_gaussians(
+        means3d, scales, rotations, w2v, full_proj, campos, width, height,
+        color=colors, shs=shs, sh_degree=sh_degree, tile=cfg.tile, alive=alive)
+    binning = bin_gaussians(pre, width, height, cfg.pair_cap, cfg.tile_cap,
+                            tile=cfg.tile)
+
+    n = means3d.shape[0]
+    T_used = pre.T if t_offset is None else pre.T + t_offset
+    packT = jnp.concatenate([T_used.reshape(n, 9),
+                             jnp.zeros((1, 9), T_used.dtype)], axis=0)
+    pad1 = lambda a: jnp.concatenate(
+        [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
+    extra_p = pad1(extras) if extras is not None else None
+
+    out = blend_tiles(binning.tile_indices, packT, pad1(pre.xy),
+                      pad1(pre.normal_view),
+                      pad1(jnp.reshape(opacities, (n,))),
+                      pad1(pre.color), extra_p, bg,
+                      width, height, tile=cfg.tile, chunk=cfg.chunk,
+                      track_contrib=cfg.track_contrib)
+    return RasterizeOut(blend=out,
+                        radii=pre.radius.astype(jnp.int32),
+                        visible=pre.valid & (pre.radius > 0),
+                        depth=pre.depth,
+                        n_dropped=binning.n_dropped,
+                        T=pre.T)
+
+
+def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
+              opacities: jnp.ndarray, cam: CameraMats, bg: jnp.ndarray,
+              cfg: RasterizeConfig,
+              colors: Optional[jnp.ndarray] = None,
+              shs: Optional[jnp.ndarray] = None, sh_degree: int = 0,
+              extras: Optional[jnp.ndarray] = None,
+              t_offset: Optional[jnp.ndarray] = None,
+              alive: Optional[jnp.ndarray] = None) -> RasterizeOut:
+    """Rasterize 2D Gaussian surfels.
+
+    means3d [N,3]; scales [N,2] (activated); rotations [N,4] (w,x,y,z);
+    opacities [N] or [N,1] (activated); exactly one of colors [N,3] / shs
+    [N,K,3]; extras [N,E] optional feature channels; t_offset [N,3,3] optional
+    zero tensor for densification gradients."""
+    cfg = cfg.resolved(means3d.shape[0])
+    return _rasterize_impl(means3d, scales, rotations, opacities,
+                           cam.w2v, cam.full_proj, cam.campos, bg,
+                           colors, shs, extras, t_offset, alive,
+                           cfg.width, cfg.height, sh_degree, cfg)
+
+
+def densify_screen_grad(t_grad: jnp.ndarray, depth: jnp.ndarray,
+                        width: int, height: int) -> jnp.ndarray:
+    """Convert dL/dT into the reference's NDC-space viewspace grad used for
+    densification stats (backward.cu:652-655): grad_x = dL/dT[0,2]·z·W/2,
+    grad_y = dL/dT[1,2]·z·H/2. Returns [N,2]."""
+    gx = t_grad[:, 0, 2] * depth * 0.5 * width
+    gy = t_grad[:, 1, 2] * depth * 0.5 * height
+    return jnp.stack([gx, gy], axis=-1)

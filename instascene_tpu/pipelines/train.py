@@ -1,0 +1,294 @@
+"""Geometry training pipeline — train.py parity (reference train.py:34-185).
+
+One fully-jitted train step: render → photometric (L1+SSIM) + depth-distortion
++ normal-consistency (+ optional mono-normal prior) losses → grads (including
+the t_offset densification grad tap) → Adam update + densify stats. Densify/
+prune runs as a second jitted function every `densification_interval` iters.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import random
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras import Camera
+from ..losses import cos_loss, l1_loss, photometric_loss, psnr, ssim
+from ..models import densify as dens
+from ..models.gaussians import GaussianParams, create_from_pcd, save_ply
+from ..models.optimizer import (AdamState, adam_step, geometry_lrs,
+                                init_adam_state)
+from ..ops.depth_utils import depth_to_normal
+from ..ops.knn import mean_dist2_knn3
+from ..ops.rasterize import (CameraMats, RasterizeConfig, densify_screen_grad,
+                             rasterize)
+from ..utils.general import get_expon_lr_func
+
+
+def rays_from_cam(width: int, height: int, tanfovx: float, tanfovy: float,
+                  c2w_rot: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel world ray directions [H,W,3], jnp (device-side)."""
+    fx = width / (2 * tanfovx)
+    fy = height / (2 * tanfovy)
+    x = (jnp.arange(width, dtype=jnp.float32) - width / 2) / fx
+    y = (jnp.arange(height, dtype=jnp.float32) - height / 2) / fy
+    xx, yy = jnp.meshgrid(x, y)
+    dirs = jnp.stack([xx, yy, jnp.ones_like(xx)], axis=-1)
+    return jnp.einsum("hwk,jk->hwj", dirs, c2w_rot)
+
+
+def render_for_training(params: GaussianParams, cam: CameraMats, bg,
+                        cfg: RasterizeConfig, t_offset, c2w_rot,
+                        tanfovx: float, tanfovy: float, depth_ratio: float):
+    """Render + derived maps needed by the training losses (channels-last)."""
+    out = rasterize(params.xyz, params.scaling_activated(),
+                    params.rotation_normalized(),
+                    params.opacity_activated()[:, 0], cam, bg, cfg,
+                    shs=params.features(), sh_degree=params.active_sh_degree,
+                    extras=(params.seg_feature_normed()
+                            if params.seg_feature is not None else None),
+                    t_offset=t_offset, alive=params.alive)
+    b = out.blend
+    rend_normal = jnp.einsum("hwk,kj->hwj", b.normal, cam.w2v[:3, :3])
+    alpha = b.alpha[..., None]
+    alpha_ok = alpha > 0
+    depth_exp = jnp.where(alpha_ok,
+                          b.depth[..., None] / jnp.where(alpha_ok, alpha, 1.0),
+                          0.0)
+    depth_med = jnp.nan_to_num(b.median_depth[..., None], 0, 0)
+    surf_depth = depth_exp * (1 - depth_ratio) + depth_ratio * depth_med
+    rays = rays_from_cam(cfg.width, cfg.height, tanfovx, tanfovy, c2w_rot)
+    surf_normal = depth_to_normal(surf_depth[..., 0], rays, cam.campos)
+    surf_normal = surf_normal * jax.lax.stop_gradient(alpha)
+    return out, rend_normal, surf_normal, alpha, surf_depth
+
+
+@partial(jax.jit, static_argnames=("cfg", "tanfovx", "tanfovy", "depth_ratio",
+                                   "has_normal_prior"))
+def train_step(params: GaussianParams, opt_state: AdamState,
+               stats: dens.DensifyStats, w2v, full_proj, campos, c2w_rot,
+               gt_image, normal_prior, normal_mask, bg, lrs,
+               lambda_dssim, lambda_dist, lambda_normal, lambda_normal_prior,
+               cfg: RasterizeConfig, tanfovx: float, tanfovy: float,
+               depth_ratio: float, has_normal_prior: bool):
+    cam = CameraMats(w2v, full_proj, campos)
+    t0 = jnp.zeros((params.capacity, 3, 3), jnp.float32)
+
+    def loss_fn(p, t_offset):
+        out, rend_normal, surf_normal, alpha, _ = render_for_training(
+            p, cam, bg, cfg, t_offset, c2w_rot, tanfovx, tanfovy, depth_ratio)
+        image = out.blend.color
+        photo, ll1 = photometric_loss(image, gt_image, lambda_dssim)
+        dist_loss = lambda_dist * jnp.mean(out.blend.distortion)
+        normal_error = jnp.mean(1.0 - jnp.sum(rend_normal * surf_normal,
+                                              axis=-1))
+        normal_loss = lambda_normal * normal_error
+        if has_normal_prior:
+            prior = normal_prior * jax.lax.stop_gradient(alpha)
+            dots = 1.0 - jnp.sum(prior * rend_normal, axis=-1)
+            msum = jnp.maximum(jnp.sum(normal_mask), 1.0)
+            prior_err = jnp.sum(dots * normal_mask) / msum
+            normal_loss = normal_loss + lambda_normal_prior * prior_err
+        total = photo + dist_loss + normal_loss
+        aux = {"ll1": ll1, "photo": photo, "dist": dist_loss,
+               "normal": normal_loss, "radii": out.radii,
+               "visible": out.visible, "depth": out.depth,
+               "n_dropped": out.n_dropped, "image": image}
+        return total, aux
+
+    (loss, aux), (grads, t_grad) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True)(params, t0)
+
+    screen_grad = densify_screen_grad(t_grad, aux["depth"],
+                                      cfg.width, cfg.height)
+    stats = dens.add_densification_stats(stats, screen_grad, aux["visible"],
+                                         aux["radii"])
+    params, opt_state = adam_step(params, grads, opt_state, lrs)
+    metrics = {"loss": loss, "ll1": aux["ll1"], "dist": aux["dist"],
+               "normal": aux["normal"], "n_dropped": aux["n_dropped"]}
+    return params, opt_state, stats, metrics
+
+
+@partial(jax.jit, static_argnames=("cfg", "tanfovx", "tanfovy", "depth_ratio"))
+def eval_step(params: GaussianParams, w2v, full_proj, campos, c2w_rot,
+              gt_image, bg, cfg: RasterizeConfig, tanfovx, tanfovy,
+              depth_ratio):
+    cam = CameraMats(w2v, full_proj, campos)
+    out, *_ = render_for_training(params, cam, bg, cfg, None, c2w_rot,
+                                  tanfovx, tanfovy, depth_ratio)
+    img = jnp.clip(out.blend.color, 0.0, 1.0)
+    gt = jnp.clip(gt_image, 0.0, 1.0)
+    return {"l1": l1_loss(img, gt), "psnr": psnr(img, gt), "image": img}
+
+
+@dataclass
+class CameraTensors:
+    w2v: jnp.ndarray
+    full_proj: jnp.ndarray
+    campos: jnp.ndarray
+    c2w_rot: jnp.ndarray
+    gt_image: jnp.ndarray
+    normal_prior: Optional[jnp.ndarray]
+    normal_mask: Optional[jnp.ndarray]
+    tanfovx: float
+    tanfovy: float
+
+
+def camera_tensors(cam: Camera) -> CameraTensors:
+    return CameraTensors(
+        w2v=jnp.asarray(cam.w2v), full_proj=jnp.asarray(cam.full_proj),
+        campos=jnp.asarray(cam.camera_center),
+        c2w_rot=jnp.asarray(cam.c2w[:3, :3].astype(np.float32)),
+        gt_image=jnp.asarray(cam.image),
+        normal_prior=jnp.asarray(cam.normal) if cam.normal is not None else None,
+        normal_mask=(jnp.asarray(cam.normal_mask.astype(np.float32))
+                     if cam.normal_mask is not None else None),
+        tanfovx=float(cam.tanfovx), tanfovy=float(cam.tanfovy))
+
+
+class GeometryTrainer:
+    """Drives the 2DGS geometry optimization (train.py:34-185 parity)."""
+
+    def __init__(self, dataset, opt, pipe, scene, seed: int = 0,
+                 capacity_multiplier: float = 4.0,
+                 rasterize_opts: Optional[dict] = None):
+        self.opt = opt
+        self.pipe = pipe
+        self.dataset = dataset
+        self.scene = scene
+        pcd = scene.scene_info.point_cloud
+        n0 = len(pcd.points)
+        cap = int(2 ** math.ceil(math.log2(max(n0 * capacity_multiplier, 1024))))
+        dist2 = np.asarray(mean_dist2_knn3(jnp.asarray(
+            pcd.points.astype(np.float32))))
+        self.params = create_from_pcd(
+            pcd.points.astype(np.float32), pcd.colors.astype(np.float32),
+            dist2, capacity=cap, max_sh_degree=dataset.sh_degree, seed=seed)
+        self.opt_state = init_adam_state(self.params)
+        self.stats = dens.init_stats(cap)
+        self.spatial_lr_scale = float(scene.cameras_extent)
+        self.xyz_sched = get_expon_lr_func(
+            lr_init=opt.position_lr_init * self.spatial_lr_scale,
+            lr_final=opt.position_lr_final * self.spatial_lr_scale,
+            lr_delay_mult=opt.position_lr_delay_mult,
+            max_steps=opt.position_lr_max_steps)
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0])
+        self.cams = [camera_tensors(c) for c in scene.get_train_cameras()]
+        self.cam_objs = scene.get_train_cameras()
+        self.rng = random.Random(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self.rasterize_opts = rasterize_opts or {}
+        self.ema = {"loss": 0.0, "dist": 0.0, "normal": 0.0}
+
+    def _cfg(self, cam: Camera) -> RasterizeConfig:
+        return RasterizeConfig(width=int(cam.width), height=int(cam.height),
+                               **self.rasterize_opts)
+
+    def step(self, iteration: int, cam_idx: Optional[int] = None) -> dict:
+        opt = self.opt
+        if cam_idx is None:
+            if not getattr(self, "_stack", None):
+                self._stack = list(range(len(self.cams)))
+            cam_idx = self._stack.pop(self.rng.randint(0, len(self._stack) - 1))
+        ct = self.cams[cam_idx]
+        cam_obj = self.cam_objs[cam_idx]
+
+        if iteration % 1000 == 0:
+            self.params = self.params.one_up_sh_degree()
+
+        lrs = geometry_lrs(opt, self.spatial_lr_scale,
+                           self.xyz_sched(iteration))
+        lam_normal = opt.lambda_normal if iteration > 7000 else 0.0
+        lam_dist = opt.lambda_dist if iteration > 3000 else 0.0
+        lam_prior = opt.lambda_normal_prior if iteration > 7000 else 0.0
+        has_prior = ct.normal_prior is not None
+
+        cfg = self._cfg(cam_obj)
+        self.params, self.opt_state, self.stats, metrics = train_step(
+            self.params, self.opt_state, self.stats,
+            ct.w2v, ct.full_proj, ct.campos, ct.c2w_rot, ct.gt_image,
+            ct.normal_prior if has_prior else jnp.zeros(1),
+            ct.normal_mask if has_prior else jnp.zeros(1),
+            self.bg, lrs, opt.lambda_dssim, lam_dist, lam_normal, lam_prior,
+            cfg, ct.tanfovx, ct.tanfovy, float(self.pipe.depth_ratio),
+            has_prior)
+
+        # densification schedule (train.py:139-151)
+        if iteration < opt.densify_until_iter:
+            if (iteration > opt.densify_from_iter
+                    and iteration % opt.densification_interval == 0):
+                size_thr = 20.0 if iteration > opt.opacity_reset_interval else 0.0
+                self.key, sub = jax.random.split(self.key)
+                (self.params, self.opt_state, self.stats,
+                 n_overflow) = dens.densify_and_prune(
+                    self.params, self.opt_state, self.stats, sub,
+                    opt.densify_grad_threshold, opt.opacity_cull,
+                    float(self.scene.cameras_extent), size_thr,
+                    percent_dense=opt.percent_dense,
+                    use_screen_size=iteration > opt.opacity_reset_interval)
+                if int(n_overflow) > 0:
+                    cap = self.params.capacity
+                    (self.params, self.opt_state,
+                     self.stats) = dens.grow_capacity(
+                        self.params, self.opt_state, self.stats, cap * 2)
+            if (iteration % opt.opacity_reset_interval == 0
+                    or (self.dataset.white_background
+                        and iteration == opt.densify_from_iter)):
+                self.params, self.opt_state = dens.reset_opacity(
+                    self.params, self.opt_state)
+        return metrics
+
+    def evaluate(self, cameras: Optional[List[int]] = None) -> dict:
+        idxs = cameras if cameras is not None else range(len(self.cams))
+        l1s, psnrs = [], []
+        for i in idxs:
+            ct = self.cams[i]
+            cfg = self._cfg(self.cam_objs[i])
+            m = eval_step(self.params, ct.w2v, ct.full_proj, ct.campos,
+                          ct.c2w_rot, ct.gt_image, self.bg, cfg,
+                          ct.tanfovx, ct.tanfovy, float(self.pipe.depth_ratio))
+            l1s.append(float(m["l1"]))
+            psnrs.append(float(m["psnr"]))
+        return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
+
+    def save(self, iteration: int):
+        path = os.path.join(self.scene.model_path,
+                            f"point_cloud/iteration_{iteration}",
+                            "point_cloud.ply")
+        save_ply(self.params, path)
+        return path
+
+    def train(self, iterations: Optional[int] = None,
+              test_iterations=(), save_iterations=(), log_every: int = 10,
+              progress: bool = True):
+        from tqdm import tqdm
+        iterations = iterations or self.opt.iterations
+        bar = tqdm(range(1, iterations + 1), desc="Training",
+                   disable=not progress)
+        for it in bar:
+            metrics = self.step(it)
+            if it % log_every == 0:
+                for k in ("loss", "dist", "normal"):
+                    self.ema[k] = (0.4 * float(metrics[k])
+                                   + 0.6 * self.ema[k])
+                bar.set_postfix({
+                    "Loss": f"{self.ema['loss']:.5f}",
+                    "distort": f"{self.ema['dist']:.5f}",
+                    "normal": f"{self.ema['normal']:.5f}",
+                    "Points": int(self.params.n_alive())})
+            if it in test_iterations:
+                ev = self.evaluate(list(range(0, min(len(self.cams), 25), 5)))
+                print(f"\n[ITER {it}] Evaluating train: "
+                      f"L1 {ev['l1']:.4f} PSNR {ev['psnr']:.2f}")
+            if it in save_iterations:
+                self.save(it)
+        return self

@@ -1,0 +1,127 @@
+"""The single render() entry point used by all pipelines.
+
+Parity: reference gaussian_renderer/__init__.py:20-169. Returns the same keys;
+image-shaped outputs are channels-LAST ([H,W,C]) in this framework.
+
+Differences from the reference, by design:
+  * no mutable `screenspace_points` grad tap — densification gradients come
+    from jax.grad w.r.t. the `t_offset` argument (see ops/rasterize.py)
+  * `gau_related_pixels` is a deterministic per-pixel top-K contributor buffer
+    (blend.contrib_ids/contrib_w) instead of an atomic append list
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cameras import Camera
+from .ops.depth_utils import camera_rays, depth_to_normal
+from .ops.rasterize import CameraMats, RasterizeConfig, rasterize
+
+
+def camera_mats(cam) -> CameraMats:
+    return CameraMats(w2v=jnp.asarray(cam.w2v),
+                      full_proj=jnp.asarray(cam.full_proj),
+                      campos=jnp.asarray(cam.camera_center))
+
+
+@lru_cache(maxsize=64)
+def _cached_rays(width, height, tanfovx, tanfovy, c2w_rot_bytes):
+    c2w_rot = np.frombuffer(c2w_rot_bytes, dtype=np.float32).reshape(3, 3)
+    return jnp.asarray(camera_rays(width, height, tanfovx, tanfovy, c2w_rot))
+
+
+def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
+           scaling_modifier: float = 1.0, override_color=None,
+           norm_seg_feat: bool = True, track_contrib: bool = False,
+           t_offset=None, cfg: Optional[RasterizeConfig] = None) -> dict:
+    """Render a view of `gaussians` (a GaussianParams pytree or GaussianModel).
+
+    Returns dict with reference keys: render, radii, visibility_filter,
+    seg_feature, rend_alpha, rend_normal, rend_dist, surf_depth, surf_normal,
+    rend_depth, rend_median_depth, plus final_T, n_contrib, n_dropped and
+    (when track_contrib) contrib_ids/contrib_w."""
+    p = gaussians.params if hasattr(gaussians, "params") else gaussians
+    n = p.xyz.shape[0]
+
+    width = int(viewpoint_camera.width)
+    height = int(viewpoint_camera.height)
+    if cfg is None:
+        cfg = RasterizeConfig(width=width, height=height,
+                              track_contrib=track_contrib)
+    else:
+        cfg = RasterizeConfig(width=width, height=height, tile=cfg.tile,
+                              chunk=cfg.chunk, pair_cap=cfg.pair_cap,
+                              tile_cap=cfg.tile_cap,
+                              track_contrib=track_contrib or cfg.track_contrib)
+
+    cam = camera_mats(viewpoint_camera)
+    bg = jnp.asarray(bg_color, dtype=jnp.float32)
+
+    seg_feature = p.seg_feature_normed() if hasattr(p, "seg_feature_normed") \
+        else None
+    if seg_feature is not None and not norm_seg_feat:
+        seg_feature = p.seg_feature
+
+    colors = None
+    shs = None
+    sh_degree = 0
+    if override_color is None:
+        shs = p.features()
+        sh_degree = int(p.active_sh_degree)
+    else:
+        colors = override_color
+
+    out = rasterize(p.xyz, p.scaling_activated() * scaling_modifier,
+                    p.rotation_normalized(), p.opacity_activated()[:, 0],
+                    cam, bg, cfg, colors=colors, shs=shs, sh_degree=sh_degree,
+                    extras=seg_feature, t_offset=t_offset,
+                    alive=getattr(p, "alive", None))
+    b = out.blend
+
+    # world-frame normal map: n_world = R_view^T n_view
+    rend_normal = jnp.einsum("hwk,kj->hwj", b.normal, cam.w2v[:3, :3])
+
+    rend_alpha = b.alpha[..., None]
+    # expected depth = D / alpha with nan/inf→0 (gaussian_renderer:139-141),
+    # expressed grad-safely
+    alpha_ok = rend_alpha > 0
+    render_depth_expected = jnp.where(
+        alpha_ok, b.depth[..., None] / jnp.where(alpha_ok, rend_alpha, 1.0), 0.0)
+    render_depth_median = jnp.nan_to_num(b.median_depth[..., None], 0, 0)
+    depth_ratio = getattr(pipe, "depth_ratio", 1.0)
+    surf_depth = (render_depth_expected * (1 - depth_ratio)
+                  + depth_ratio * render_depth_median)
+
+    c2w_rot = np.ascontiguousarray(
+        viewpoint_camera.c2w[:3, :3].astype(np.float32))
+    rays = _cached_rays(width, height, float(viewpoint_camera.tanfovx),
+                        float(viewpoint_camera.tanfovy), c2w_rot.tobytes())
+    surf_normal = depth_to_normal(surf_depth[..., 0], rays, cam.campos)
+    surf_normal = surf_normal * jax.lax.stop_gradient(rend_alpha)
+
+    return {
+        "render": b.color,
+        "radii": out.radii,
+        "visibility_filter": out.visible,
+        "seg_feature": b.extra if seg_feature is not None else None,
+        "gau_related_pixels": (b.contrib_ids, b.contrib_w)
+        if cfg.track_contrib else None,
+        "rend_alpha": rend_alpha,
+        "rend_normal": rend_normal,
+        "rend_dist": b.distortion[..., None],
+        "surf_depth": surf_depth,
+        "surf_normal": surf_normal,
+        "rend_depth": render_depth_expected,
+        "rend_median_depth": render_depth_median,
+        "final_T": b.final_T,
+        "n_contrib": b.n_contrib,
+        "n_dropped": out.n_dropped,
+        "gaussian_depth": out.depth,
+        "T": out.T,
+    }

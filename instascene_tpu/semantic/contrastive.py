@@ -1,0 +1,89 @@
+"""ProtoNCE contrastive loss over sampled pixels/points, jit-compiled.
+
+Parity: reference utils/contrastive_utils.py:18-73. Differences forced by XLA
+static shapes: instead of torch.unique + relabeling, clusters live in a fixed
+[0, max_labels) id space with presence masks; absent clusters are excluded from
+the softmax denominator exactly as the reference's compaction does.
+
+Semantics kept:
+  * features L2-normalized with a DETACHED norm (:41)
+  * prototypes u_k = per-cluster mean of normalized features, or the predefined
+    class anchors when given (:44-58)
+  * per-cluster temperature φ_k = clip(10 · mean||f−u_k|| / log(n_k+1000),
+    0.5, 1.0), detached (:60-66)
+  * loss = −Σ_i log( exp(f_i·u_{m_i}/φ_{m_i}) / Σ_k exp(f_i·u_k/φ_k) )  (:68-72)
+  * label 0 dropped unless consider_negative (:28-39); labels are shifted by −1
+    when dropping so cluster ids stay aligned with predef anchors
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+@partial(jax.jit, static_argnames=("max_labels", "consider_negative"))
+def contrastive_loss(features: jnp.ndarray,       # [B,D]
+                     labels: jnp.ndarray,         # [B] int32 raw mask ids
+                     max_labels: int,
+                     predef_u: Optional[jnp.ndarray] = None,  # [K,D], K>=max_labels
+                     valid: Optional[jnp.ndarray] = None,     # [B] bool extra mask
+                     consider_negative: bool = False,
+                     temp_lambda: float = 1000.0) -> jnp.ndarray:
+    b, d = features.shape
+    labels = labels.astype(jnp.int32)
+    ok = labels >= 0
+    if not consider_negative:
+        ok = ok & (labels > 0)
+        labels = labels - 1
+    if valid is not None:
+        ok = ok & valid
+    labels = jnp.clip(labels, 0, max_labels - 1)
+    seg = jnp.where(ok, labels, max_labels)  # dump invalid into an extra bin
+
+    feats = features / jax.lax.stop_gradient(
+        jnp.linalg.norm(features, axis=-1, keepdims=True) + 1e-9)
+    featm = jnp.where(ok[:, None], feats, 0.0)
+
+    cnt = jax.ops.segment_sum(ok.astype(jnp.float32), seg,
+                              num_segments=max_labels + 1)[:max_labels]
+    present = cnt > 0
+    cnt_safe = jnp.maximum(cnt, 1.0)
+
+    if predef_u is not None:
+        u = predef_u[:max_labels]
+    else:
+        fsum = jax.ops.segment_sum(featm, seg,
+                                   num_segments=max_labels + 1)[:max_labels]
+        u = fsum / cnt_safe[:, None]
+
+    diff_norm = jnp.linalg.norm(feats - u[jnp.clip(labels, 0, max_labels - 1)],
+                                axis=-1)
+    phi_sum = jax.ops.segment_sum(jnp.where(ok, diff_norm, 0.0), seg,
+                                  num_segments=max_labels + 1)[:max_labels]
+    phi = phi_sum / (cnt_safe * jnp.log(cnt_safe + temp_lambda))
+    phi = jnp.clip(phi * 10.0, 0.5, 1.0)
+    phi = jax.lax.stop_gradient(phi)
+
+    logits = jnp.einsum("bd,kd->bk", feats, u, precision=_HI) / phi[None, :]
+    expd = jnp.where(present[None, :], jnp.exp(logits), 0.0)
+    denom = jnp.sum(expd, axis=1)
+    own = jnp.take_along_axis(expd, labels[:, None], axis=1)[:, 0]
+    log_p = jnp.log(jnp.maximum(own, 1e-30) / (denom + 1e-9))
+    return -jnp.sum(jnp.where(ok, log_p, 0.0))
+
+
+def sample_valid_pixels(key, valid_flat: jnp.ndarray, batch: int):
+    """Uniform sample (with replacement) of `batch` indices among True entries
+    of valid_flat, jit-friendly (reference samples torch.randint over the valid
+    subset, train_semantic.py:126). Returns (idx [batch], any_valid bool)."""
+    n = valid_flat.shape[0]
+    vidx = jnp.where(valid_flat, size=n, fill_value=0)[0]
+    n_valid = jnp.sum(valid_flat.astype(jnp.int32))
+    r = jax.random.randint(key, (batch,), 0, jnp.maximum(n_valid, 1))
+    return vidx[r], n_valid > 0

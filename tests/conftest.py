@@ -4,11 +4,15 @@ tests run without TPU hardware. Set INSTASCENE_TEST_TPU=1 to run on real TPU."""
 import os
 
 if not os.environ.get("INSTASCENE_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # jax may already be imported by sitecustomize with JAX_PLATFORMS=axon —
+    # env vars are latched at jax import, so force via jax.config instead.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8").strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 import sys
 

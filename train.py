@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""2DGS geometry training CLI — flag-compatible with the reference train.py.
+
+Usage (same as reference): python train.py -s <data_dir> [-m out] [--eval] ...
+"""
+
+import os
+import sys
+from argparse import ArgumentParser
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from instascene_tpu.config import (ModelParams, OptimizationParams,
+                                   PipelineParams, save_cfg_args)
+from instascene_tpu.utils.general import safe_state
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="Training script parameters")
+    ModelParams.add_to_parser(parser)
+    OptimizationParams.add_to_parser(parser)
+    PipelineParams.add_to_parser(parser)
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--detect_anomaly", action="store_true", default=False)
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7_000, 15_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7_000, 15_000, 30_000])
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--disable_viewer", action="store_true", default=False)
+    args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+    args.save_iterations.append(args.iterations)
+
+    dataset = ModelParams.extract(args)
+    opt = OptimizationParams.extract(args)
+    pipe = PipelineParams.extract(args)
+
+    safe_state(args.quiet)
+
+    from instascene_tpu.data.dataset import Scene
+    from instascene_tpu.pipelines.train import GeometryTrainer
+    from instascene_tpu.viewer.network_gui import NetworkGUI
+
+    scene = Scene(dataset)
+    print(f"Output folder: {scene.model_path}")
+    save_cfg_args(scene.model_path, args)
+
+    trainer = GeometryTrainer(dataset, opt, pipe, scene)
+
+    gui = None
+    if not args.disable_viewer:
+        try:
+            gui = NetworkGUI(args.ip, args.port)
+        except OSError:
+            gui = None
+
+    from tqdm import tqdm
+    bar = tqdm(range(1, opt.iterations + 1), desc="Training progress")
+    for it in bar:
+        metrics = trainer.step(it)
+        if it % 10 == 0:
+            for k in ("loss", "dist", "normal"):
+                trainer.ema[k] = 0.4 * float(metrics[k]) + 0.6 * trainer.ema[k]
+            bar.set_postfix({"Loss": f"{trainer.ema['loss']:.5f}",
+                             "distort": f"{trainer.ema['dist']:.5f}",
+                             "normal": f"{trainer.ema['normal']:.5f}",
+                             "Points": int(trainer.params.n_alive())})
+        if it in args.test_iterations:
+            ev = trainer.evaluate(list(range(0, min(len(trainer.cams), 25), 5)))
+            print(f"\n[ITER {it}] Evaluating: L1 {ev['l1']:.4f} "
+                  f"PSNR {ev['psnr']:.2f}")
+        if it in args.save_iterations:
+            print(f"\n[ITER {it}] Saving Gaussians")
+            trainer.save(it)
+        if it in args.checkpoint_iterations:
+            from instascene_tpu.pipelines.checkpoint import save_checkpoint
+            save_checkpoint(trainer, scene.model_path, it)
+        if gui is not None:
+            gui.tick(trainer, pipe, dataset)
+
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
