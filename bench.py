@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark: semantic-training iterations/sec at waldo_kitchen scale.
+
+Baseline (BASELINE.md): the reference trains 10,000 semantic iterations in
+~20 min on an A100 40GB → 8.33 it/s. This bench builds a synthetic scene at
+comparable scale (300k gaussians, 976x728 render, 16 feature channels) and
+times the jitted contrastive train step (render fwd+bwd on the feature
+channel + ProtoNCE losses), printing ONE JSON line.
+
+Also measured (reported as extra keys): geometry train step it/s and 1080p
+render FPS.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_SEMANTIC_ITS = 10_000 / (20 * 60)  # 8.33 it/s on A100
+
+
+def make_bench_scene(n=300_000, seed=0):
+    import jax.numpy as jnp
+
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.data.synthetic import look_at
+    from instascene_tpu.models.gaussians import GaussianParams
+    from instascene_tpu.utils.general import inverse_sigmoid
+    rng = np.random.default_rng(seed)
+    xyz = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    params = GaussianParams(
+        xyz=jnp.asarray(xyz),
+        features_dc=jnp.asarray(rng.normal(0, 0.3, (n, 1, 3)).astype(np.float32)),
+        features_rest=jnp.zeros((n, 15, 3)),
+        scaling=jnp.asarray(np.log(rng.uniform(0.004, 0.02, (n, 2))
+                                   ).astype(np.float32)),
+        rotation=jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+        opacity=jnp.full((n, 1), float(inverse_sigmoid(0.5))),
+        alive=jnp.ones(n, bool),
+        seg_feature=jnp.asarray(rng.random((n, 16)).astype(np.float32)),
+        active_sh_degree=3, max_sh_degree=3)
+
+    def make_cam(i, width, height):
+        ang = 2 * np.pi * i / 16
+        pos = np.array([4.0 * np.cos(ang), 4.0 * np.sin(ang), 1.5])
+        R_w2c, t = look_at(pos, np.zeros(3))
+        return Camera(uid=i, colmap_id=i, R=R_w2c.T, T=t, fovx=1.2, fovy=0.95,
+                      image_name=str(i), width=width, height=height)
+
+    return params, make_cam
+
+
+def bench_semantic(params, make_cam, width=976, height=728, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from instascene_tpu.models.optimizer import init_adam_state, semantic_lrs
+    from instascene_tpu.config import OptimizationParams
+    from instascene_tpu.ops.rasterize import RasterizeConfig
+    from instascene_tpu.pipelines.train import camera_tensors
+    from instascene_tpu.pipelines.train_semantic import semantic_train_step
+
+    rng = np.random.default_rng(1)
+    cams = [camera_tensors(make_cam(i, width, height)) for i in range(4)]
+    segmap = jnp.asarray(rng.integers(0, 40, (height, width)).astype(np.int32))
+    opt = OptimizationParams()
+    opt_state = init_adam_state(params)
+    lrs = semantic_lrs(opt)
+    cfg = RasterizeConfig(width=width, height=height)
+    key = jax.random.PRNGKey(0)
+    n_mv = 5
+    zeros_mv = (jnp.zeros((n_mv, 4, 4)), jnp.zeros((n_mv, 4, 4)),
+                jnp.zeros((n_mv, 3)),
+                jnp.zeros((n_mv, height, width), jnp.int32))
+    lab3d = jnp.asarray(rng.integers(0, 40, params.capacity).astype(np.int32))
+    cf = jnp.zeros((64, 16))
+
+    def one(i, p, s, k):
+        ct = cams[i % len(cams)]
+        k, sub = jax.random.split(k)
+        p, s, loss = semantic_train_step(
+            p, s, sub, ct.w2v, ct.full_proj, ct.campos, segmap, segmap,
+            *zeros_mv, lab3d, cf, jnp.zeros(3), lrs,
+            1e-6, 0.0, 2.5e-6, cfg, 32 * 1024, 64, False, False, False, n_mv)
+        return p, s, k, loss
+
+    # compile
+    p, s, k, loss = one(0, params, opt_state, key)
+    loss.block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(iters):
+        p, s, k, loss = one(i, p, s, k)
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def bench_geometry(params, make_cam, width=976, height=728, iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    from instascene_tpu.config import OptimizationParams
+    from instascene_tpu.models.densify import init_stats
+    from instascene_tpu.models.optimizer import (geometry_lrs,
+                                                 init_adam_state)
+    from instascene_tpu.ops.rasterize import RasterizeConfig
+    from instascene_tpu.pipelines.train import camera_tensors, train_step
+
+    rng = np.random.default_rng(2)
+    params = params.replace(seg_feature=None)
+    cams = [camera_tensors(make_cam(i, width, height)) for i in range(4)]
+    gt = jnp.asarray(rng.random((height, width, 3)).astype(np.float32))
+    opt = OptimizationParams()
+    opt_state = init_adam_state(params)
+    stats = init_stats(params.capacity)
+    lrs = geometry_lrs(opt, 1.0, 1e-4)
+    cfg = RasterizeConfig(width=width, height=height)
+    dummy = jnp.zeros(1)
+
+    def one(i, p, o, s):
+        ct = cams[i % len(cams)]
+        return train_step(p, o, s, ct.w2v, ct.full_proj, ct.campos,
+                          ct.c2w_rot, gt, dummy, dummy, jnp.zeros(3), lrs,
+                          0.2, 0.0, 0.05, 0.0, cfg, ct.tanfovx, ct.tanfovy,
+                          1.0, False)
+
+    p, o, s, m = one(0, params, opt_state, stats)
+    m["loss"].block_until_ready()
+    t0 = time.perf_counter()
+    for i in range(iters):
+        p, o, s, m = one(i, p, o, s)
+    m["loss"].block_until_ready()
+    dt = time.perf_counter() - t0
+    return iters / dt
+
+
+def bench_render_fps(params, make_cam, width=1920, height=1080, iters=20):
+    import jax
+    import jax.numpy as jnp
+
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              rasterize)
+    cam = make_cam(0, width, height)
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    cfg = RasterizeConfig(width=width, height=height)
+
+    @jax.jit
+    def fwd(p):
+        return rasterize(p.xyz, p.scaling_activated(),
+                         p.rotation_normalized(), p.opacity_activated()[:, 0],
+                         cm, jnp.zeros(3), cfg, shs=p.features(),
+                         sh_degree=3).blend.color
+
+    img = fwd(params)
+    img.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        img = fwd(params)
+    img.block_until_ready()
+    return iters / (time.perf_counter() - t0)
+
+
+def main():
+    params, make_cam = make_bench_scene(
+        n=int(os.environ.get("BENCH_N", 300_000)))
+    sem_its = bench_semantic(params, make_cam)
+    geo_its = bench_geometry(params, make_cam)
+    fps = bench_render_fps(params, make_cam)
+    print(json.dumps({
+        "metric": "semantic train iters/sec (waldo-scale synthetic, 300k gaussians, 976x728, 16ch)",
+        "value": round(sem_its, 3),
+        "unit": "it/s",
+        "vs_baseline": round(sem_its / BASELINE_SEMANTIC_ITS, 3),
+        "extra": {"geometry_train_its": round(geo_its, 3),
+                  "render_1080p_fps": round(fps, 2)},
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,8 +50,10 @@ class GaussianParams:
         return jax.nn.sigmoid(self.opacity) * self.alive[:, None]
 
     def rotation_normalized(self):
-        return self.rotation / jnp.maximum(
-            jnp.linalg.norm(self.rotation, axis=-1, keepdims=True), 1e-12)
+        # rsqrt(+eps) keeps grads NaN-free on dead slots (all-zero quats)
+        return self.rotation * jax.lax.rsqrt(
+            jnp.sum(self.rotation * self.rotation, axis=-1, keepdims=True)
+            + 1e-24)
 
     def features(self):
         return jnp.concatenate([self.features_dc, self.features_rest], axis=1)

@@ -81,7 +81,9 @@ def adam_step(params: GaussianParams, grads: GaussianParams, state: AdamState,
         mhat = m / c1
         vhat = v / c2
         amask = alive.reshape((-1,) + (1,) * (p.ndim - 1))
-        upd = lrs[f] * mhat / (jnp.sqrt(vhat) + eps) * amask
+        # where (not multiply): dead rows must stay fixed even if their grads
+        # are non-finite (degenerate culled lanes)
+        upd = jnp.where(amask, lrs[f] * mhat / (jnp.sqrt(vhat) + eps), 0.0)
         updates[f] = p - upd
         new_m[f] = m
         new_v[f] = v

@@ -79,8 +79,11 @@ def _chunk_body(carry, xs, *, packT, xy, normal, opacity, color, extra,
     p = jnp.cross(k, l)
     pz_ok = p[..., 2] != 0.0
     pz = jnp.where(pz_ok, p[..., 2], 1.0)
-    sx = p[..., 0] / pz
-    sy = p[..., 1] / pz
+    # clip keeps degenerate (never-contributing) lanes' values finite so
+    # autodiff through masked branches stays NaN-free; contributors have
+    # |s| <= sqrt(2 ln 255) ≈ 3.3, far inside the clip range
+    sx = jnp.clip(p[..., 0] / pz, -3e4, 3e4)
+    sy = jnp.clip(p[..., 1] / pz, -3e4, 3e4)
     rho3d = sx * sx + sy * sy
     dx = xy[g][:, None, 0] - pxf[None, :]
     dy = xy[g][:, None, 1] - pyf[None, :]

@@ -34,9 +34,13 @@ def depth_to_normal(depth: jnp.ndarray, rays_world: jnp.ndarray,
                     cam_center: jnp.ndarray) -> jnp.ndarray:
     """Pseudo surface normal from central differences of unprojected points
     (utils/point_utils.py:29-40). Zero on the 1-px border. [H,W,3]."""
+    import jax
     pts = depths_to_points(depth, rays_world, cam_center)
     dx = pts[2:, 1:-1] - pts[:-2, 1:-1]
     dy = pts[1:-1, 2:] - pts[1:-1, :-2]
     nrm = jnp.cross(dx, dy)
-    nrm = nrm / jnp.maximum(jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+    # rsqrt(|n|²+eps) instead of /norm: NaN-free gradients at zero-cross
+    # (constant-depth/background) pixels
+    nrm = nrm * jax.lax.rsqrt(jnp.sum(nrm * nrm, axis=-1, keepdims=True)
+                              + 1e-24)
     return jnp.pad(nrm, ((1, 1), (1, 1), (0, 0)))

@@ -45,8 +45,10 @@ class PreprocessOut(NamedTuple):
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
-    """[N,4] (w,x,y,z) quaternion (unnormalized ok) → [N,3,3]."""
-    q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    """[N,4] (w,x,y,z) quaternion (unnormalized ok) → [N,3,3].
+    The +1e-12 keeps the all-zero quaternions of dead capacity slots from
+    producing inf/NaN that would poison gradients through masked lanes."""
+    q = q * jax.lax.rsqrt(jnp.sum(q * q, axis=-1, keepdims=True) + 1e-12)
     w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
     return jnp.stack([
         jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
@@ -107,19 +109,33 @@ def preprocess_gaussians(
     multiplier = jnp.where(cos > 0, 1.0, -1.0)
     normal_view = normal_view * multiplier[:, None]
 
-    # AABB and low-pass center (forward.cu:119-145,223-231), cutoff=3
+    # AABB and low-pass center (forward.cu:119-145,223-231), cutoff=3.
+    # Degenerate-splat guards: the CUDA kernel only checks d != 0; under
+    # autodiff an inf/NaN *value* on a culled lane still poisons gradients
+    # (0-cotangent × inf = NaN), so cull near-degenerate d relative to the
+    # magnitude of Tw and clamp the center into a finite range. Exact for
+    # every gaussian that can actually contribute.
     t_vec = jnp.array([CUTOFF * CUTOFF, CUTOFF * CUTOFF, -1.0], dtype=f32)
     Tw = T[:, 2, :]
     d = jnp.sum(t_vec * Tw * Tw, axis=-1)
-    d_ok = d != 0.0
+    d_scale = jnp.sum(jnp.abs(t_vec) * Tw * Tw, axis=-1)
+    d_ok = (jnp.abs(d) > 1e-7 * d_scale) & (d_scale > 0)
     d_safe = jnp.where(d_ok, d, 1.0)
     f_vec = t_vec / d_safe[:, None]
     center_x = jnp.sum(f_vec * T[:, 0, :] * Tw, axis=-1)
     center_y = jnp.sum(f_vec * T[:, 1, :] * Tw, axis=-1)
+    center_x = jnp.clip(center_x, -1e7, 1e7)
+    center_y = jnp.clip(center_y, -1e7, 1e7)
     h0x = center_x * center_x - jnp.sum(f_vec * T[:, 0, :] * T[:, 0, :], axis=-1)
     h0y = center_y * center_y - jnp.sum(f_vec * T[:, 1, :] * T[:, 1, :], axis=-1)
-    ext_x = jnp.sqrt(jnp.maximum(1e-4, h0x))
-    ext_y = jnp.sqrt(jnp.maximum(1e-4, h0y))
+    ext_x = jnp.sqrt(jnp.clip(h0x, 1e-4, 1e14))
+    ext_y = jnp.sqrt(jnp.clip(h0y, 1e-4, 1e14))
+    finite = (jnp.isfinite(center_x) & jnp.isfinite(center_y)
+              & jnp.isfinite(ext_x) & jnp.isfinite(ext_y))
+    center_x = jnp.where(finite, center_x, 0.0)
+    center_y = jnp.where(finite, center_y, 0.0)
+    ext_x = jnp.where(finite, ext_x, 0.0)
+    ext_y = jnp.where(finite, ext_y, 0.0)
     xy = jnp.stack([center_x, center_y], axis=-1)
     radius = jnp.ceil(jnp.maximum(jnp.maximum(ext_x, ext_y),
                                   CUTOFF * FILTER_SIZE))
@@ -135,7 +151,7 @@ def preprocess_gaussians(
     rect_max = jnp.stack([rmax_x, rmax_y], axis=-1).astype(jnp.int32)
     tiles = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
 
-    valid = in_frustum & d_ok & (tiles > 0)
+    valid = in_frustum & d_ok & finite & (tiles > 0)
     if alive is not None:
         valid = valid & alive
     tiles_touched = jnp.where(valid, tiles, 0).astype(jnp.int32)

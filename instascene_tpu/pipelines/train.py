@@ -104,8 +104,9 @@ def train_step(params: GaussianParams, opt_state: AdamState,
                "n_dropped": out.n_dropped, "image": image}
         return total, aux
 
+    # allow_int: the params pytree carries the bool `alive` mask (grad ignored)
     (loss, aux), (grads, t_grad) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True)(params, t0)
+        loss_fn, argnums=(0, 1), has_aux=True, allow_int=True)(params, t0)
 
     screen_grad = densify_screen_grad(t_grad, aux["depth"],
                                       cfg.width, cfg.height)

@@ -1,0 +1,311 @@
+"""Semantic feature-lifting pipeline — train_semantic.py parity
+(reference train_semantic.py:17-237).
+
+Stage 1 (RobustSemanticPriors): forward-render every training view with the
+deterministic contributor tracker, run the spatial-track mask clustering on
+host, write output_dict.npy + mask_sorted/ + mask_filtered/, init per-gaussian
+features (optionally gram-schmidt anchors).
+
+Stage 2 (train_segfeat): 10k iterations of jit-compiled contrastive training on
+the 16-dim feature channel with frozen geometry — single-view ProtoNCE on two
+segmap types, multi-view ProtoNCE over 5 consecutive views every 10th iter,
+3D ProtoNCE over visible gaussians.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import gaussians as gmod
+from ..models.optimizer import adam_step, init_adam_state, semantic_lrs
+from ..ops.rasterize import CameraMats, RasterizeConfig, rasterize
+from ..semantic.contrastive import contrastive_loss, sample_valid_pixels
+from ..semantic.spatial_track import ClusteringArgs, GausCluster
+from .train import CameraTensors, camera_tensors
+
+
+def render_features(params: gmod.GaussianParams, cam: CameraMats, bg,
+                    cfg: RasterizeConfig, seg_feature: Optional[jnp.ndarray]
+                    = None):
+    """Render with the (possibly externally-supplied, for grad) seg feature."""
+    feat = seg_feature if seg_feature is not None else params.seg_feature
+    if feat is not None:
+        feat = feat / (jnp.linalg.norm(feat, axis=1, keepdims=True) + 1e-6)
+    return rasterize(params.xyz, params.scaling_activated(),
+                     params.rotation_normalized(),
+                     params.opacity_activated()[:, 0], cam, bg, cfg,
+                     shs=params.features(),
+                     sh_degree=params.active_sh_degree, extras=feat,
+                     alive=params.alive)
+
+
+@partial(jax.jit, static_argnames=("cfg", "batch", "max_labels",
+                                   "consider_negative", "has_class_feat",
+                                   "do_multiview", "n_mv"))
+def semantic_train_step(params, opt_state, key,
+                        w2v, full_proj, campos, segmap, sorted_segmap,
+                        mv_w2v, mv_full_proj, mv_campos, mv_sorted_segmaps,
+                        seg3d_labels, class_feat, bg, lrs,
+                        lam_sv, lam_mv, lam_3d,
+                        cfg: RasterizeConfig, batch: int, max_labels: int,
+                        consider_negative: bool, has_class_feat: bool,
+                        do_multiview: bool, n_mv: int):
+    cam = CameraMats(w2v, full_proj, campos)
+    cf = class_feat if has_class_feat else None
+
+    def loss_fn(seg_feature):
+        out = render_features(params, cam, bg, cfg, seg_feature)
+        featmap = out.blend.extra.reshape(-1, seg_feature.shape[1])
+        total = 0.0
+
+        # single-view over [raw/filtered segmap, sorted segmap] (:108-141)
+        seg_list = ([(segmap, 0)] if not has_class_feat
+                    else [(segmap, 0), (sorted_segmap, 1)])
+        k = key
+        for seg, mask_type in seg_list:
+            labels_flat = seg.reshape(-1)
+            neg = consider_negative and mask_type == 0
+            valid = (jnp.ones_like(labels_flat, bool) if neg
+                     else labels_flat > 0)
+            k, sub = jax.random.split(k)
+            idx, any_valid = sample_valid_pixels(sub, valid, batch)
+            f = featmap[idx]
+            l = labels_flat[idx]
+            weight = 1.0 if mask_type == 1 else 0.5
+            cl = contrastive_loss(
+                f, l, max_labels,
+                predef_u=cf if mask_type == 1 else None,
+                consider_negative=neg)
+            total = total + jnp.where(any_valid, cl, 0.0) * lam_sv * weight
+
+        # multi-view over n_mv consecutive views every 10th iter (:145-172)
+        if do_multiview:
+            def render_one(i):
+                mcam = CameraMats(mv_w2v[i], mv_full_proj[i], mv_campos[i])
+                o = render_features(params, mcam, bg, cfg, seg_feature)
+                return o.blend.extra
+            feats_mv = jnp.stack([render_one(i) for i in range(n_mv)])
+            labels_mv = mv_sorted_segmaps.reshape(-1)
+            feats_mv = feats_mv.reshape(-1, seg_feature.shape[1])
+            k, sub = jax.random.split(k)
+            idx, any_valid = sample_valid_pixels(sub, labels_mv > 0, batch)
+            cl = contrastive_loss(feats_mv[idx], labels_mv[idx], max_labels,
+                                  predef_u=cf)
+            total = total + jnp.where(any_valid, cl, 0.0) * lam_mv
+
+        # 3D over visible gaussians (:175-195)
+        visible = out.visible
+        feat_norm = seg_feature / (jnp.linalg.norm(
+            seg_feature, axis=1, keepdims=True) + 1e-6)
+        valid3d = visible & (seg3d_labels > 0)
+        k, sub = jax.random.split(k)
+        idx, any_valid = sample_valid_pixels(sub, valid3d, batch)
+        cl = contrastive_loss(feat_norm[idx], seg3d_labels[idx], max_labels,
+                              predef_u=cf)
+        total = total + jnp.where(any_valid, cl, 0.0) * lam_3d
+        return total
+
+    loss, g = jax.value_and_grad(loss_fn)(params.seg_feature)
+    grads = jax.tree.map(jnp.zeros_like, params)
+    grads = grads.replace(seg_feature=g, alive=params.alive)
+    new_params, new_opt = adam_step(params, grads, opt_state, lrs)
+    return new_params, new_opt, loss
+
+
+class SegSplatting:
+    """Reference train_semantic.py SegSplatting parity."""
+
+    def __init__(self, dataset, opt, pipe, output_root: str = "output"):
+        self.dataset = dataset
+        self.opt = opt
+        self.pipe = pipe
+        self.data_dir = dataset.source_path
+        sp = self.data_dir.rstrip("/").split("/")
+        self.model_path = os.path.join(
+            output_root, sp[-2] if len(sp) > 1 else "scene", sp[-1],
+            dataset.model_path)
+        self.params = gmod.load_ply(
+            os.path.join(self.data_dir, "point_cloud.ply"),
+            max_sh_degree=3, seg_feat_dim=dataset.seg_feat_dim,
+            load_seg_feat=dataset.load_seg_feat)
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0])
+        self.class_feat = None
+        self.scene = None
+        self.rng = random.Random(0)
+        self.key = jax.random.PRNGKey(0)
+
+    def _load_scene(self):
+        from ..data.dataset import Scene
+        self.scene = Scene(self.dataset, load_images=True,
+                           output_root=os.path.dirname(
+                               os.path.dirname(os.path.dirname(
+                                   self.model_path))) or "output")
+        self.cam_objs = self.scene.get_train_cameras()
+        self.cams = [camera_tensors(c) for c in self.cam_objs]
+
+    def robust_semantic_priors(self):
+        """Stage 1 (train_semantic.py:33-72)."""
+        if self.dataset.preload_robust_semantic and os.path.exists(
+                self.dataset.preload_robust_semantic):
+            seg_dir = self.dataset.preload_robust_semantic
+        else:
+            seg_dir = os.path.join(self.model_path, "semantic_association")
+            os.makedirs(seg_dir, exist_ok=True)
+
+        self._load_scene()
+        n_alive = int(self.params.n_alive())
+
+        def trace_fn(view_idx: int):
+            cam_obj = self.cam_objs[view_idx]
+            ct = self.cams[view_idx]
+            cfg = RasterizeConfig(width=int(cam_obj.width),
+                                  height=int(cam_obj.height),
+                                  track_contrib=True)
+            out = render_features(self.params,
+                                  CameraMats(ct.w2v, ct.full_proj, ct.campos),
+                                  self.bg, cfg)
+            return (np.asarray(out.blend.contrib_ids),
+                    np.asarray(cam_obj.segmap))
+
+        gc = GausCluster(n_alive, np.asarray(self.params.xyz)[:n_alive],
+                         [c.image_name for c in self.cam_objs], trace_fn)
+        self.gausclustering = gc
+
+        out_path = os.path.join(seg_dir, "output_dict.npy")
+        if not os.path.exists(out_path):
+            import shutil
+            for d in ("mask_filtered", "mask_sorted", "mask_undersegment"):
+                p = os.path.join(self.data_dir, "sam", d)
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+            gc.maskclustering(seg_dir)
+
+        priors = np.load(out_path, allow_pickle=True).item()
+        self.seg3d_masks = priors["mask_3d_labels"]
+        self.seg3d_labels = np.argmax(
+            self.seg3d_masks.astype(np.int16), axis=1).astype(np.int32)
+        if not os.path.exists(os.path.join(self.data_dir, "sam/mask_sorted")):
+            gc.rearrange_mask(os.path.join(self.data_dir, "sam/mask"),
+                              priors["mask_2d_clusters"])
+        if (len(priors["underseg_mask_ids"]) > 0 and
+                not os.path.exists(os.path.join(self.data_dir,
+                                                "sam/mask_filtered"))):
+            gc.filter_undersegment_mask(os.path.join(self.data_dir, "sam/mask"),
+                                        priors["underseg_mask_ids"])
+
+        # reload cameras (picks up mask_sorted / mask_filtered)
+        self._load_scene()
+        self.params, self.class_feat = gmod.set_3d_feat(
+            self.params, self.seg3d_masks, self.dataset.seg_feat_dim,
+            gram_feat=self.opt.gram_feat_3d)
+        # pad 3D labels to capacity
+        lab = np.zeros(self.params.capacity, np.int32)
+        lab[:len(self.seg3d_labels)] = self.seg3d_labels
+        self.seg3d_labels_padded = jnp.asarray(lab)
+
+    def _max_labels(self) -> int:
+        m = 1
+        for c in self.cam_objs:
+            if c.segmap is not None:
+                m = max(m, int(c.segmap.max()))
+            if c.sorted_segmap is not None:
+                m = max(m, int(c.sorted_segmap.max()))
+        m = max(m, int(self.seg3d_labels.max()) + 1)
+        return int((m + 7) // 8 * 8)
+
+    def train_segfeat(self, iterations: Optional[int] = None,
+                      progress: bool = True, save_every: int = 2500):
+        """Stage 2 (train_semantic.py:75-237)."""
+        from tqdm import tqdm
+        opt = self.opt
+        iterations = iterations or opt.iterations
+        opt_state = init_adam_state(self.params)
+        lrs = semantic_lrs(opt)
+        max_labels = self._max_labels()
+        n_mv = opt.sample_mv_frames
+        has_cf = self.class_feat is not None
+        cf = (jnp.asarray(np.pad(self.class_feat,
+                                 ((0, max(0, max_labels
+                                          - len(self.class_feat))), (0, 0))))
+              if has_cf else jnp.zeros((max_labels,
+                                        self.dataset.seg_feat_dim)))
+        zeros_map = jnp.zeros_like(jnp.asarray(self.cam_objs[0].segmap))
+        stack = []
+        bar = tqdm(range(1, iterations + 1), desc="Contrastive",
+                   disable=not progress)
+        for it in bar:
+            if not stack:
+                stack = list(range(len(self.cams)))
+            ci = stack.pop(self.rng.randint(0, len(stack) - 1))
+            ct = self.cams[ci]
+            cam_obj = self.cam_objs[ci]
+            cfg = RasterizeConfig(width=int(cam_obj.width),
+                                  height=int(cam_obj.height))
+            segmap = (jnp.asarray(cam_obj.segmap)
+                      if cam_obj.segmap is not None else zeros_map)
+            sorted_segmap = (jnp.asarray(cam_obj.sorted_segmap)
+                             if cam_obj.sorted_segmap is not None else zeros_map)
+            do_mv = (opt.lambda_multiview_contras > 0 and it % 10 == 0)
+            if do_mv:
+                v0 = self.rng.randint(0, len(self.cams) - n_mv - 1)
+                mv = [self.cams[v] for v in range(v0, v0 + n_mv)]
+                mv_w2v = jnp.stack([m.w2v for m in mv])
+                mv_fp = jnp.stack([m.full_proj for m in mv])
+                mv_cp = jnp.stack([m.campos for m in mv])
+                mv_seg = jnp.stack(
+                    [jnp.asarray(self.cam_objs[v].sorted_segmap)
+                     if self.cam_objs[v].sorted_segmap is not None
+                     else zeros_map for v in range(v0, v0 + n_mv)])
+            else:
+                mv_w2v = jnp.zeros((n_mv, 4, 4))
+                mv_fp = jnp.zeros((n_mv, 4, 4))
+                mv_cp = jnp.zeros((n_mv, 3))
+                mv_seg = jnp.zeros((n_mv,) + zeros_map.shape, jnp.int32)
+
+            self.key, sub = jax.random.split(self.key)
+            self.params, opt_state, loss = semantic_train_step(
+                self.params, opt_state, sub,
+                ct.w2v, ct.full_proj, ct.campos, segmap, sorted_segmap,
+                mv_w2v, mv_fp, mv_cp, mv_seg,
+                self.seg3d_labels_padded, cf, self.bg, lrs,
+                opt.lambda_singview_contras, opt.lambda_multiview_contras,
+                opt.lambda_3D_contras, cfg, int(opt.sample_batchsize),
+                max_labels, bool(opt.consider_negative_labels), has_cf,
+                do_mv, n_mv)
+            if it % 10 == 0:
+                bar.set_postfix({"ContraLoss": f"{float(loss):.3f}"})
+            if it % save_every == 0 or it == iterations:
+                self.save(it)
+        self.export_segment_results(iterations, use_hdbscan=True,
+                                    note=f"iteration_{iterations}_hdbscan")
+
+    def save(self, iteration: int) -> str:
+        path = os.path.join(self.model_path,
+                            f"point_cloud/iteration_{iteration}",
+                            "point_cloud.ply")
+        gmod.save_ply(self.params, path)
+        return path
+
+    def export_segment_results(self, iteration: int, score_threshold: float
+                               = 0.9, use_hdbscan: bool = False,
+                               note: Optional[str] = None):
+        """Per-instance point clouds; HDBSCAN path follows Garfield
+        (train_semantic.py:240-350; sklearn HDBSCAN replaces cuML)."""
+        from ..semantic.export import export_segment_results
+        save_dir = os.path.join(
+            self.model_path, "point_cloud",
+            note if note else f"iteration_{iteration}")
+        params_c = gmod.compact(self.params)
+        export_segment_results(
+            np.asarray(params_c.xyz),
+            np.asarray(params_c.seg_feature_normed()),
+            self.seg3d_masks, self.seg3d_labels, save_dir,
+            score_threshold=score_threshold, use_hdbscan=use_hdbscan)

@@ -435,7 +435,7 @@ class GausCluster:
         os.makedirs(save_dir, exist_ok=True)
         origin = [np.array(Image.open(os.path.join(
             mask_folder, n + ".png"))) for n in self.view_names]
-        new = [np.zeros_like(o, dtype=np.int16) for o in origin]
+        new = [np.zeros_like(o, dtype=np.uint16) for o in origin]
         for cid, cluster in enumerate(mask_clusters):
             for fm in cluster:
                 fi, mid = fm[:2]
@@ -453,7 +453,7 @@ class GausCluster:
         origin = [np.array(Image.open(os.path.join(
             mask_folder, n + ".png"))) for n in self.view_names]
         new = [o.copy() for o in origin]
-        under_imgs = [np.zeros_like(o, dtype=np.int16) for o in origin]
+        under_imgs = [np.zeros_like(o, dtype=np.uint16) for o in origin]
         for fm in under_masks:
             fi, mid = int(fm[0]), int(fm[1])
             new[fi][origin[fi] == mid] = 0

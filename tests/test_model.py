@@ -104,11 +104,11 @@ def test_adam_matches_torch(rng):
 def test_densify_clone_split_prune(rng):
     p = make_params(rng, n=10, cap=64)
     # make gaussian 0 small (clone) and gaussian 1 large (split)
-    scaling = np.asarray(p.scaling)
+    scaling = np.asarray(p.scaling).copy()
     scaling[0] = np.log(0.001)
     scaling[1] = np.log(5.0)
     # gaussian 2: low opacity → prune
-    opac = np.asarray(p.opacity)
+    opac = np.asarray(p.opacity).copy()
     opac[2] = -10.0
     p = p.replace(scaling=jnp.asarray(scaling), opacity=jnp.asarray(opac))
     state = init_adam_state(p)
@@ -121,9 +121,11 @@ def test_densify_clone_split_prune(rng):
     stats = dens.DensifyStats(jnp.asarray(grad_accum), jnp.asarray(denom),
                               jnp.zeros(64))
     key = jax.random.PRNGKey(0)
+    # extent=100: ws-prune threshold 10 keeps the scale-3.125 children; the
+    # split/clone percent_dense boundary is 1.0
     new_p, new_state, new_stats, overflow = dens.densify_and_prune(
         p, state, stats, key, max_grad=0.5, min_opacity=0.05,
-        extent=10.0, max_screen_size=20.0, percent_dense=0.01)
+        extent=100.0, max_screen_size=20.0, percent_dense=0.01)
     assert int(overflow) == 0
     # 10 - 1(split parent) - 1(pruned) + 1 clone + 2 split children = 11
     assert int(new_p.n_alive()) == 11

@@ -1,0 +1,126 @@
+"""End-to-end training tests on a miniature synthetic scene (CPU)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scene_builder import build_e2e_scene
+
+from instascene_tpu.config import (ModelParams, OptimizationParams,
+                                   PipelineParams)
+
+
+@pytest.fixture(scope="module")
+def e2e_scene(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data") / "parent" / "scene"
+    params, labels, cams = build_e2e_scene(str(d))
+    return str(d), params, labels
+
+
+def test_geometry_training_improves_psnr(e2e_scene, tmp_path):
+    src, true_params, _ = e2e_scene
+    dataset = ModelParams(source_path=src, sh_degree=3)
+    opt = OptimizationParams(
+        iterations=120, densify_from_iter=30, densification_interval=40,
+        densify_until_iter=120, opacity_reset_interval=10_000,
+        position_lr_max_steps=120)
+    pipe = PipelineParams()
+
+    from instascene_tpu.data.dataset import Scene
+    from instascene_tpu.pipelines.train import GeometryTrainer
+    scene = Scene(dataset, output_root=str(tmp_path / "out"))
+    trainer = GeometryTrainer(
+        dataset, opt, pipe, scene,
+        rasterize_opts={"chunk": 16, "pair_cap": 65536, "tile_cap": 256})
+    before = trainer.evaluate([0, 2, 4])
+    for it in range(1, 121):
+        m = trainer.step(it)
+    after = trainer.evaluate([0, 2, 4])
+    assert np.isfinite(after["psnr"])
+    assert after["psnr"] > before["psnr"] + 3.0, (before, after)
+    # save + reload round trip
+    path = trainer.save(120)
+    assert os.path.exists(path)
+    from instascene_tpu.models.gaussians import load_ply
+    back = load_ply(path)
+    assert int(back.n_alive()) == int(trainer.params.n_alive())
+
+
+def test_checkpoint_resume(e2e_scene, tmp_path):
+    src, *_ = e2e_scene
+    dataset = ModelParams(source_path=src, sh_degree=3)
+    opt = OptimizationParams(iterations=20, densify_from_iter=1000,
+                             position_lr_max_steps=20)
+    pipe = PipelineParams()
+    from instascene_tpu.data.dataset import Scene
+    from instascene_tpu.pipelines.checkpoint import (load_checkpoint,
+                                                     save_checkpoint)
+    from instascene_tpu.pipelines.train import GeometryTrainer
+    scene = Scene(dataset, output_root=str(tmp_path / "out"))
+    tr = GeometryTrainer(dataset, opt, pipe, scene,
+                         rasterize_opts={"chunk": 16, "pair_cap": 65536,
+                                         "tile_cap": 256})
+    for it in range(1, 6):
+        tr.step(it, cam_idx=it % 4)
+    ck = save_checkpoint(tr, str(tmp_path), 5)
+    params, opt_state, stats, it0 = load_checkpoint(ck)
+    assert it0 == 5
+    assert np.allclose(np.asarray(params.xyz), np.asarray(tr.params.xyz))
+    assert np.allclose(np.asarray(opt_state.m.xyz),
+                       np.asarray(tr.opt_state.m.xyz))
+
+
+def test_semantic_pipeline_e2e(e2e_scene, tmp_path):
+    """Full semantic stage on the synthetic 3-instance scene: spatial-track
+    priors + short contrastive training must separate instance features."""
+    src, true_params, labels = e2e_scene
+    dataset = ModelParams(source_path=src, use_seg_feature=True,
+                          seg_feat_dim=16)
+    opt = OptimizationParams(iterations=30, sample_batchsize=2048,
+                             gram_feat_3d=True, consider_negative_labels=True)
+    pipe = PipelineParams()
+
+    from instascene_tpu.pipelines.train_semantic import SegSplatting
+    seg = SegSplatting(dataset, opt, pipe,
+                       output_root=str(tmp_path / "out"))
+    seg.robust_semantic_priors()
+
+    # priors must roughly recover the 3 instances
+    m3d = seg.seg3d_masks
+    assert m3d.shape[1] >= 2, "expected at least 2 instances from clustering"
+    # each discovered instance should be dominated by one true label
+    pure = 0
+    for k in range(m3d.shape[1]):
+        ids = np.nonzero(m3d[:, k])[0]
+        if len(ids) == 0:
+            continue
+        true = labels[ids]
+        counts = np.bincount(true, minlength=4)
+        if counts.max() / max(len(ids), 1) > 0.8:
+            pure += 1
+    assert pure >= 2, "discovered instances not pure"
+
+    seg.train_segfeat(iterations=30, progress=False, save_every=10_000)
+
+    # features of same-instance gaussians should be closer than cross-instance
+    import jax.numpy as jnp
+    feats = np.asarray(seg.params.seg_feature_normed())[:len(labels)]
+    sims_intra, sims_inter = [], []
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        i, j = rng.integers(0, len(labels), 2)
+        s = float(feats[i] @ feats[j])
+        (sims_intra if labels[i] == labels[j] else sims_inter).append(s)
+    assert np.mean(sims_intra) > np.mean(sims_inter) + 0.1
+
+    # mask_sorted / output_dict files written
+    assert os.path.exists(os.path.join(src, "sam/mask_sorted"))
+    # instance export runs
+    seg.export_segment_results(30, use_hdbscan=True, note="test_export")
+    out_dir = os.path.join(seg.model_path, "point_cloud", "test_export")
+    assert os.path.exists(os.path.join(out_dir, "point_cloud_labels.ply"))

@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""Semantic feature-lifting CLI — flag-compatible with the reference
+train_semantic.py. Expects a pretrained point_cloud.ply in the data dir."""
+
+import os
+import sys
+from argparse import ArgumentParser
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from instascene_tpu.config import (ModelParams, OptimizationParams,
+                                   PipelineParams)
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="Training script parameters")
+    ModelParams.add_to_parser(parser)
+    OptimizationParams.add_to_parser(parser)
+    PipelineParams.add_to_parser(parser)
+    args = parser.parse_args(argv if argv is not None else sys.argv[1:])
+
+    dataset = ModelParams.extract(args)
+    opt = OptimizationParams.extract(args)
+    pipe = PipelineParams.extract(args)
+
+    from instascene_tpu.pipelines.train_semantic import SegSplatting
+
+    segsplat = SegSplatting(dataset, opt, pipe)
+    segsplat.robust_semantic_priors()
+    segsplat.train_segfeat()
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
