@@ -163,6 +163,10 @@ class MiniCam:
     def __post_init__(self):
         self.camera_center = np.linalg.inv(self.w2v)[:3, 3].astype(np.float32)
 
+    @property
+    def c2w(self) -> np.ndarray:
+        return np.linalg.inv(self.w2v)
+
     tanfovx = Camera.tanfovx
     tanfovy = Camera.tanfovy
     focal_x = Camera.focal_x

@@ -148,7 +148,7 @@ def camera_tensors(cam: Camera) -> CameraTensors:
         w2v=jnp.asarray(cam.w2v), full_proj=jnp.asarray(cam.full_proj),
         campos=jnp.asarray(cam.camera_center),
         c2w_rot=jnp.asarray(cam.c2w[:3, :3].astype(np.float32)),
-        gt_image=jnp.asarray(cam.image),
+        gt_image=jnp.asarray(cam.image) if cam.image is not None else None,
         normal_prior=jnp.asarray(cam.normal) if cam.normal is not None else None,
         normal_mask=(jnp.asarray(cam.normal_mask.astype(np.float32))
                      if cam.normal_mask is not None else None),

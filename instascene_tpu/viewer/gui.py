@@ -1,0 +1,233 @@
+"""Interactive instance segmentation: headless engine + optional dearpygui app.
+
+Parity: reference semantic_gui.py:65-627 (OrbitCamera, GaussianSplattingGUI).
+The click-segmentation logic lives in a headless SegmentationEngine so it is
+testable and scriptable without a display; the dearpygui shell (gated import)
+wires the same engine to widgets."""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ..cameras import MiniCam, get_projection_matrix
+from ..models import gaussians as gmod
+from ..semantic.export import pca_proj_matrix
+
+
+class OrbitCamera:
+    """Orbit camera (semantic_gui.py:65-160 parity)."""
+
+    def __init__(self, width, height, r=2.0, fovy=60.0):
+        self.W = width
+        self.H = height
+        self.radius = r
+        self.fovy = np.deg2rad(fovy)
+        self.center = np.zeros(3, dtype=np.float32)
+        from scipy.spatial.transform import Rotation
+        self.rot = Rotation.from_matrix(np.eye(3))
+        self.up = np.array([0, 1, 0], dtype=np.float32)
+
+    @property
+    def fovx(self):
+        return 2 * np.arctan(np.tan(self.fovy / 2) * self.W / self.H)
+
+    @property
+    def pose(self):
+        """c2w, COLMAP convention (z forward): camera at center − R·(0,0,r),
+        looking at the orbit center."""
+        res = np.eye(4, dtype=np.float32)
+        res[:3, :3] = self.rot.as_matrix()
+        res[:3, 3] = self.center - res[:3, :3] @ np.array(
+            [0, 0, self.radius], dtype=np.float32)
+        return res
+
+    def orbit(self, dx, dy):
+        from scipy.spatial.transform import Rotation
+        side = self.rot.as_matrix()[:3, 0]
+        up = self.rot.as_matrix()[:3, 1]
+        rotvec_x = up * np.radians(-0.05 * dx)
+        rotvec_y = side * np.radians(-0.05 * dy)
+        self.rot = (Rotation.from_rotvec(rotvec_x)
+                    * Rotation.from_rotvec(rotvec_y) * self.rot)
+
+    def scale(self, delta):
+        self.radius *= 1.1 ** (-delta)
+
+    def pan(self, dx, dy, dz=0):
+        self.center += 2e-4 * self.rot.as_matrix()[:3, :3] @ np.array(
+            [dx, dy, dz], dtype=np.float32)
+
+    def minicam(self, znear=0.01, zfar=100.0) -> MiniCam:
+        c2w = self.pose
+        w2v = np.linalg.inv(c2w).astype(np.float32)
+        proj = get_projection_matrix(znear, zfar, self.fovx, self.fovy)
+        return MiniCam(self.W, self.H, self.fovy, self.fovx, znear, zfar,
+                       w2v=w2v, full_proj=(proj @ w2v).astype(np.float32))
+
+
+@dataclass
+class SegmentationEngine:
+    """Headless click-to-segment engine (fetch_data parity,
+    semantic_gui.py:503-589)."""
+    params: gmod.GaussianParams
+    pipe: object
+    bg_color: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
+    score_threshold: float = 0.7
+    dbscan_eps: float = 0.15
+    dbscan_min_points: int = 10
+
+    def __post_init__(self):
+        self.proj_mat = pca_proj_matrix(np.asarray(self.params.seg_feature))
+        self.chosen_features: List[np.ndarray] = []
+
+    def render_view(self, cam):
+        from ..render import render
+        pkg = render(cam, self.params, self.pipe, self.bg_color)
+        rgb = np.asarray(pkg["render"])
+        feat = np.asarray(pkg["seg_feature"])
+        feat = feat / (np.linalg.norm(feat, axis=-1, keepdims=True) + 1e-6)
+        feat_rgb = np.clip(feat @ self.proj_mat * 0.5 + 0.5, 0, 1)
+        return rgb, feat, feat_rgb
+
+    def click(self, cam, x: int, y: int) -> None:
+        """Add a feature prompt at pixel (x, y)."""
+        _, feat, _ = self.render_view(cam)
+        h, w = feat.shape[:2]
+        self.chosen_features.append(feat[int(y) % h, int(x) % w])
+
+    def clear(self) -> None:
+        self.chosen_features = []
+
+    def score_map(self, feat: np.ndarray) -> np.ndarray:
+        """[H,W,P] scores in [0,1] per prompt."""
+        prompts = np.stack(self.chosen_features, axis=-1)
+        return (feat @ prompts + 1.0) / 2.0
+
+    def gaussian_mask(self) -> np.ndarray:
+        """3D mask: gaussians whose feature matches any prompt, DBSCAN-filtered
+        to the largest spatial cluster (semantic_gui.py:557-574)."""
+        feats = np.asarray(self.params.seg_feature_normed())
+        prompts = np.stack(self.chosen_features, axis=-1)
+        score = (feats @ prompts + 1.0) / 2.0
+        mask = (score > self.score_threshold).sum(axis=1) > 0
+        mask = mask & np.asarray(self.params.alive)
+        if mask.sum() == 0:
+            return mask
+        from sklearn.cluster import DBSCAN
+        pts = np.asarray(self.params.xyz)[mask]
+        labels = DBSCAN(eps=self.dbscan_eps,
+                        min_samples=self.dbscan_min_points
+                        ).fit(pts).labels_ + 1
+        ids, cnts = np.unique(labels, return_counts=True)
+        best = ids[np.argmax(cnts)]
+        keep_idx = np.nonzero(mask)[0][labels == best]
+        out = np.zeros_like(mask)
+        out[keep_idx] = True
+        return out
+
+    def segment_3d(self, save_dir: str, seg_id: int = 0):
+        """Crop to the selected instance and save its PLY + mask."""
+        mask = self.gaussian_mask()
+        os.makedirs(save_dir, exist_ok=True)
+        gmod.save_ply(self.params, os.path.join(save_dir,
+                                                f"segment_{seg_id}.ply"),
+                      crop_mask=mask[np.asarray(self.params.alive)])
+        np.save(os.path.join(save_dir, f"segment_{seg_id}_mask.npy"), mask)
+        self.params = self.params.replace(
+            alive=self.params.alive & np.asarray(mask))
+        return mask
+
+    def delete_3d(self, save_dir: str, seg_id: int = 0):
+        mask = self.gaussian_mask()
+        os.makedirs(save_dir, exist_ok=True)
+        gmod.save_ply(self.params, os.path.join(save_dir,
+                                                f"segment_{seg_id}.ply"),
+                      crop_mask=mask[np.asarray(self.params.alive)])
+        self.params = self.params.replace(
+            alive=self.params.alive & ~np.asarray(mask))
+        gmod.save_ply(self.params, os.path.join(save_dir,
+                                                f"deleted_{seg_id}.ply"))
+        return mask
+
+
+def run_gui(engine: SegmentationEngine, width=800, height=600,
+            interactive_note: str = "default"):
+    """dearpygui shell; requires a display + dearpygui installed."""
+    try:
+        import dearpygui.dearpygui as dpg
+    except ImportError as e:
+        raise RuntimeError(
+            "dearpygui is not installed; use SegmentationEngine headlessly "
+            "(render_view/click/segment_3d) or install dearpygui") from e
+
+    cam = OrbitCamera(width, height, r=2.0)
+    state = {"mode": 0, "seg_id": 0, "drag": False}
+
+    dpg.create_context()
+    with dpg.texture_registry(show=False):
+        dpg.add_raw_texture(width, height,
+                            np.zeros((height, width, 3), np.float32),
+                            format=dpg.mvFormat_Float_rgb, tag="_texture")
+
+    def refresh():
+        rgb, feat, feat_rgb = engine.render_view(cam.minicam())
+        if engine.chosen_features:
+            score = engine.score_map(feat)
+            binary = (score > engine.score_threshold).any(-1)
+            rgb = np.where(binary[..., None], rgb * 0.3 + 0.7, rgb)
+        buf = rgb if state["mode"] == 0 else feat_rgb * 0.7 + 0.3
+        dpg.set_value("_texture", buf.astype(np.float32).reshape(-1))
+
+    with dpg.window(tag="_primary", width=width, height=height):
+        dpg.add_image("_texture")
+        with dpg.group(horizontal=True):
+            dpg.add_button(label="RGB/Feature",
+                           callback=lambda: (state.update(
+                               mode=1 - state["mode"]), refresh()))
+            dpg.add_button(label="Clear",
+                           callback=lambda: (engine.clear(), refresh()))
+            dpg.add_button(label="Segment3D", callback=lambda: (
+                engine.segment_3d(f"interactive_segmentation/"
+                                  f"{interactive_note}", state["seg_id"]),
+                state.update(seg_id=state["seg_id"] + 1), refresh()))
+            dpg.add_button(label="Delete3D", callback=lambda: (
+                engine.delete_3d(f"interactive_segmentation/"
+                                 f"{interactive_note}", state["seg_id"]),
+                state.update(seg_id=state["seg_id"] + 1), refresh()))
+        dpg.add_slider_float(label="ScoreThres", default_value=0.7,
+                             min_value=0.0, max_value=1.0, tag="_ScoreThres",
+                             callback=lambda s, v: setattr(
+                                 engine, "score_threshold", v))
+
+    def on_click(sender, app_data):
+        x, y = dpg.get_mouse_pos()
+        engine.click(cam.minicam(), int(x), int(y))
+        refresh()
+
+    def on_drag(sender, app_data):
+        _, dx, dy = app_data
+        cam.orbit(dx, dy)
+        refresh()
+
+    def on_wheel(sender, app_data):
+        cam.scale(app_data)
+        refresh()
+
+    with dpg.handler_registry():
+        dpg.add_mouse_double_click_handler(callback=on_click)
+        dpg.add_mouse_drag_handler(button=dpg.mvMouseButton_Left,
+                                   callback=on_drag)
+        dpg.add_mouse_wheel_handler(callback=on_wheel)
+
+    dpg.create_viewport(title="instascene-tpu", width=width + 20,
+                        height=height + 100)
+    dpg.setup_dearpygui()
+    refresh()
+    dpg.show_viewport()
+    dpg.set_primary_window("_primary", True)
+    dpg.start_dearpygui()
+    dpg.destroy_context()

@@ -1,0 +1,186 @@
+"""Mesh rasterizer, GUI engine, contrastive parity, network viewer protocol."""
+
+import os
+import sys
+import threading
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_mesh_rasterizer_plane():
+    """A z=2 plane quad seen head-on: depth 2 everywhere inside, normal ±z."""
+    from instascene_tpu.ops.mesh_raster import rasterize_mesh
+    verts = jnp.asarray(np.array([[-2, -2, 2], [2, -2, 2], [2, 2, 2],
+                                  [-2, 2, 2]], np.float32))
+    faces = jnp.asarray(np.array([[0, 1, 2], [0, 2, 3]], np.int32))
+    w2v = jnp.eye(4)
+    W, H = 32, 24
+    fx = fy = 20.0
+    intr = jnp.asarray([fx, fy, W / 2, H / 2])
+    out = rasterize_mesh(verts, faces, w2v, intr, W, H, tile=16, chunk=8,
+                         pair_cap=4096, tile_cap=64)
+    depth = np.asarray(out.depth)
+    fid = np.asarray(out.face_id)
+    # center pixel hits the plane at depth 2
+    assert np.isclose(depth[H // 2, W // 2], 2.0, atol=1e-3)
+    assert fid[H // 2, W // 2] >= 0
+    nrm = np.asarray(out.normal)[H // 2, W // 2]
+    assert np.isclose(abs(nrm[2]), 1.0, atol=1e-5)
+    pos = np.asarray(out.position)[H // 2, W // 2]
+    assert np.isclose(pos[2], 2.0, atol=1e-3)
+    # plane corners project inside: coverage is wide
+    assert (depth > 0).mean() > 0.5
+
+
+def test_mesh_rasterizer_occlusion():
+    """Nearer triangle must win the z-test."""
+    from instascene_tpu.ops.mesh_raster import rasterize_mesh
+    verts = jnp.asarray(np.array(
+        [[-3, -3, 4], [3, -3, 4], [0, 3, 4],      # far triangle (face 0)
+         [-1, -1, 2], [1, -1, 2], [0, 1, 2]],     # near triangle (face 1)
+        np.float32))
+    faces = jnp.asarray(np.array([[0, 1, 2], [3, 4, 5]], np.int32))
+    w2v = jnp.eye(4)
+    W = H = 32
+    intr = jnp.asarray([24.0, 24.0, 16.0, 16.0])
+    out = rasterize_mesh(verts, faces, w2v, intr, W, H, tile=16, chunk=8,
+                         pair_cap=4096, tile_cap=64)
+    assert int(np.asarray(out.face_id)[H // 2, W // 2]) == 1
+    assert np.isclose(np.asarray(out.depth)[H // 2, W // 2], 2.0, atol=1e-2)
+    # a pixel near the wide triangle's corner sees face 0 at depth 4
+    d = np.asarray(out.depth)
+    f = np.asarray(out.face_id)
+    assert (f == 0).sum() > 0
+    assert np.allclose(d[f == 0], 4.0, atol=2e-2)
+
+
+def test_contrastive_matches_torch(rng):
+    """jit ProtoNCE must equal a direct torch transcription of the reference."""
+    import torch
+
+    from instascene_tpu.semantic.contrastive import contrastive_loss
+
+    B, D, M = 256, 8, 16
+    feats = rng.normal(size=(B, D)).astype(np.float32)
+    labels = rng.integers(0, 10, B).astype(np.int32)
+
+    got = float(contrastive_loss(jnp.asarray(feats), jnp.asarray(labels),
+                                 max_labels=M))
+
+    # torch reference (utils/contrastive_utils.py:18-73)
+    f = torch.tensor(feats)
+    m = torch.tensor(labels, dtype=torch.int64)
+    valid = m > 0
+    m2 = m[valid] - 1
+    f2 = f[valid]
+    f2 = f2 / (f2.norm(dim=-1, keepdim=True) + 1e-9).detach()
+    ids, cnts = torch.unique(m2, return_counts=True)
+    remap = torch.zeros(int(ids.max()) + 1, dtype=torch.long)
+    remap[ids] = torch.arange(len(ids))
+    m3 = remap[m2]
+    k = len(ids)
+    u = torch.zeros(k, D).scatter_add_(0, m3[:, None].expand(-1, D), f2)
+    u = u / cnts[:, None]
+    diff = (f2 - u[m3]).norm(dim=1, keepdim=True)
+    phi = torch.zeros(k, 1).scatter_add_(0, m3[:, None], diff)
+    phi = phi / (cnts[:, None] * torch.log(cnts[:, None] + 1000))
+    phi = torch.clip(phi * 10, 0.5, 1.0)
+    dist = torch.exp(f2 @ u.T / phi.T)
+    want = float(-torch.sum(torch.log(
+        dist[torch.arange(len(f2)), m3][:, None] /
+        (dist.sum(1, keepdim=True) + 1e-9))))
+    assert np.isclose(got, want, rtol=1e-4), (got, want)
+
+
+def test_contrastive_predef_and_negative(rng):
+    from instascene_tpu.semantic.contrastive import contrastive_loss
+    B, D, M = 128, 8, 8
+    feats = rng.normal(size=(B, D)).astype(np.float32)
+    labels = rng.integers(0, 5, B).astype(np.int32)
+    anchors = rng.normal(size=(M, D)).astype(np.float32)
+    l1 = float(contrastive_loss(jnp.asarray(feats), jnp.asarray(labels), M,
+                                predef_u=jnp.asarray(anchors)))
+    l2 = float(contrastive_loss(jnp.asarray(feats), jnp.asarray(labels), M,
+                                consider_negative=True))
+    assert np.isfinite(l1) and np.isfinite(l2)
+    # gradient flows
+    import jax
+    g = jax.grad(lambda f: contrastive_loss(f, jnp.asarray(labels), M))(
+        jnp.asarray(feats))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_segmentation_engine(tmp_path, rng):
+    from scene_builder import make_blob_gaussians
+
+    from instascene_tpu.config import PipelineParams
+    from instascene_tpu.viewer.gui import OrbitCamera, SegmentationEngine
+    params, labels = make_blob_gaussians()
+    # attach distinctive per-instance features
+    feats = np.zeros((len(labels), 16), np.float32)
+    for i in range(3):
+        v = np.zeros(16)
+        v[i] = 1.0
+        feats[labels == i + 1] = v
+    params = params.replace(seg_feature=jnp.asarray(feats))
+    engine = SegmentationEngine(params, PipelineParams(),
+                                score_threshold=0.9, dbscan_eps=0.3)
+    cam = OrbitCamera(64, 48, r=4.0)
+    mini = cam.minicam()
+    rgb, feat, feat_rgb = engine.render_view(mini)
+    assert rgb.shape == (48, 64, 3)
+    # click on the pixel with max feature-0 response → selects instance 1
+    fmap = feat[..., 0]
+    y, x = np.unravel_index(np.argmax(fmap), fmap.shape)
+    engine.click(mini, x, y)
+    mask = engine.gaussian_mask()
+    sel_labels = labels[np.asarray(mask)[:len(labels)]]
+    assert len(sel_labels) > 10
+    assert (sel_labels == 1).mean() > 0.95
+    out = engine.segment_3d(str(tmp_path), 0)
+    assert os.path.exists(str(tmp_path / "segment_0.ply"))
+
+
+def test_network_gui_protocol():
+    import json
+    import socket
+    import struct
+
+    from instascene_tpu.viewer.network_gui import NetworkGUI
+    gui = NetworkGUI("127.0.0.1", 0)
+    port = gui.listener.getsockname()[1]
+    client = socket.create_connection(("127.0.0.1", port))
+    gui.try_connect(["RGB"])
+    assert gui.conn is not None
+    # client receives render_items
+    n = struct.unpack("I", client.recv(4))[0]
+    items = json.loads(client.recv(n))
+    assert items == ["RGB"]
+    # client sends a zero-resolution message → server returns Nones
+    msg = json.dumps({"resolution_x": 0, "resolution_y": 0}).encode()
+    client.sendall(len(msg).to_bytes(4, "little") + msg)
+    out = gui.receive()
+    assert out == (None, None, None, None, None)
+    client.close()
+
+
+def test_cfg_args_roundtrip(tmp_path):
+    from argparse import ArgumentParser, Namespace
+
+    from instascene_tpu.config import (ModelParams, get_combined_args,
+                                       save_cfg_args)
+    ns = Namespace(source_path="/data/x", model_path=str(tmp_path),
+                   iterations=7000)
+    save_cfg_args(str(tmp_path), ns)
+    parser = ArgumentParser()
+    parser.add_argument("--model_path", "-m", default=None)
+    parser.add_argument("--iterations", type=int, default=None)
+    merged = get_combined_args(parser, ["-m", str(tmp_path)])
+    assert merged.source_path == "/data/x"
+    assert merged.iterations == 7000
