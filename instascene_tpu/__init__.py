@@ -20,3 +20,24 @@ Layers (see SURVEY.md):
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _setup_compilation_cache():
+    """Enable the persistent XLA compilation cache: TPU compiles in this
+    environment are expensive (remote compile service), and training/benching
+    re-uses a small set of shapes across processes."""
+    try:
+        import jax
+        cache_dir = _os.environ.get("INSTASCENE_JAX_CACHE",
+                                    _os.path.expanduser("~/.cache/jax_comp"))
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_setup_compilation_cache()

@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .preprocess import PreprocessOut
 
@@ -64,9 +65,21 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     tile_id = (rect_min[gid, 1] + dy) * grid_x + (rect_min[gid, 0] + dx)
     tile_id = jnp.where(slot_valid, tile_id, num_tiles)          # sentinel tile
 
-    # lexicographic (tile, depth) sort — replaces the 64-bit key radix sort
-    sorted_tile, _, sorted_gid = jax.lax.sort(
-        (tile_id, depth[gid], gid), num_keys=2, is_stable=True)
+    # single fused int32 sort key: tile_id in the high bits, depth quantized
+    # into the remaining bits (the CUDA reference sorts exact f32 depth bits;
+    # sub-quantum depth ties get an arbitrary — but deterministic — order,
+    # which only permutes near-coincident splats). One int32 key + one payload
+    # sorts ~3x faster than a 2-key lexicographic sort on TPU.
+    tile_bits = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
+    depth_bits = 31 - tile_bits
+    d = depth[gid]
+    dmin = jnp.min(jnp.where(slot_valid, d, jnp.inf))
+    dmax = jnp.max(jnp.where(slot_valid, d, -jnp.inf))
+    dq = jnp.clip((d - dmin) / jnp.maximum(dmax - dmin, 1e-12), 0.0, 1.0)
+    dq = (dq * ((1 << depth_bits) - 1)).astype(jnp.int32)
+    key = tile_id * (1 << depth_bits) + jnp.where(slot_valid, dq, 0)
+    sorted_key, sorted_gid = jax.lax.sort((key, gid), num_keys=1)
+    sorted_tile = (sorted_key >> depth_bits).astype(jnp.int32)
     sorted_gid = jnp.where(sorted_tile < num_tiles, sorted_gid, n)
 
     # per-tile [start, end) ranges (identifyTileRanges, rasterizer_impl.cu:116-138)

@@ -1,0 +1,466 @@
+"""Pallas TPU kernels for the per-tile alpha-compositing blend (fast path).
+
+The XLA path (ops/blend.py) pays tile_cap padding, per-chunk gathers and scan
+overhead; these kernels stream a pre-gathered packed tensor through VMEM with
+a (tile, chunk) grid, keep all per-pixel state resident on-chip, and skip
+chunks beyond each tile's true count via a scalar-prefetched count (the
+clamped index_map also dedupes the DMA of skipped chunks).
+
+TPU shape discipline: every vector intermediate is a 2D [C, P2] array
+(C = chunk of gaussians on sublanes, P2 = tile pixels on lanes); 3-vectors are
+component-unrolled; cumulative products/sums along the gaussian axis become
+lower-triangular matmuls on the MXU (cumprod via exp∘cumsum∘log — safe since
+1-α ≥ 0.01 for contributors).
+
+Packed layout [num_tiles, D, K] (gaussian axis last → 128-lane DMA blocks):
+  rows 0:9  T rows (Tu,Tv,Tw)   9:11 low-pass center xy
+  11:14     view-space normal   14   opacity
+  15:18     color               18:  E extra channels
+
+Forward semantics match ops/blend.py exactly (itself oracle-tested against the
+CUDA reference semantics, forward.cu:256-462). The backward kernel re-walks
+chunks back-to-front from the saved final transmittance — the recomputation
+trick of backward.cu:143-466 — emitting per-(tile, slot) gradients that the
+caller segment-sums per gaussian (deterministic, replacing CUDA atomics).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .preprocess import FAR_N, FILTER_INV_SQUARE, NEAR_N
+
+_XY = 9
+_NRM = 11
+_OPA = 14
+_COL = 15
+_EXT = 18
+CHUNK = 128  # gaussians per grid step (sublane-friendly, lane-aligned DMA)
+
+
+def _tril(c: int, dtype=jnp.float32, strict: bool = True):
+    r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    return ((col < r) if strict else (col <= r)).astype(dtype)
+
+
+def _cumsum_excl(x):
+    """Exclusive prefix sum along axis 0 via strict-lower-triangular matmul."""
+    c = x.shape[0]
+    return jnp.dot(_tril(c, x.dtype, True), x,
+                   preferred_element_type=jnp.float32)
+
+
+def _cumsum_incl(x):
+    c = x.shape[0]
+    return jnp.dot(_tril(c, x.dtype, False), x,
+                   preferred_element_type=jnp.float32)
+
+
+def _pix_coords(tile: int, grid_x: int):
+    t = pl.program_id(0)
+    ty = (t // grid_x).astype(jnp.float32)
+    tx = (t % grid_x).astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1)
+    row = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0)
+    pxf = (tx * tile + lane).reshape(1, -1)   # [1, P2]
+    pyf = (ty * tile + row).reshape(1, -1)
+    return pxf, pyf
+
+
+def _splat_terms(bt, pxf, pyf):
+    """bt [C, D] packed chunk; pxf/pyf [1, P2]. All outputs [C, P2]."""
+    Tux, Tuy, Tuz = bt[:, 0:1], bt[:, 1:2], bt[:, 2:3]
+    Tvx, Tvy, Tvz = bt[:, 3:4], bt[:, 4:5], bt[:, 5:6]
+    Twx, Twy, Twz = bt[:, 6:7], bt[:, 7:8], bt[:, 8:9]
+    # k = x·Tw − Tu ; l = y·Tw − Tv ; p = k × l   (component-unrolled)
+    kx = pxf * Twx - Tux
+    ky = pxf * Twy - Tuy
+    kz = pxf * Twz - Tuz
+    lx = pyf * Twx - Tvx
+    ly = pyf * Twy - Tvy
+    lz = pyf * Twz - Tvz
+    px_ = ky * lz - kz * ly
+    py_ = kz * lx - kx * lz
+    pz_ = kx * ly - ky * lx
+    pz_ok = pz_ != 0.0
+    pz = jnp.where(pz_ok, pz_, 1.0)
+    sx = jnp.clip(px_ / pz, -3e4, 3e4)
+    sy = jnp.clip(py_ / pz, -3e4, 3e4)
+    rho3d = sx * sx + sy * sy
+    dx = bt[:, _XY:_XY + 1] - pxf
+    dy = bt[:, _XY + 1:_XY + 2] - pyf
+    rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+    use3d = rho3d <= rho2d
+    rho = jnp.where(use3d, rho3d, rho2d)
+    depth_ray = jnp.where(use3d, sx * Twx + sy * Twy + Twz, Twz)
+    power = -0.5 * rho
+    G = jnp.exp(power)
+    alpha = jnp.minimum(bt[:, _OPA:_OPA + 1] * G, 0.99)
+    m = pz_ok & (depth_ray >= NEAR_N) & (power <= 0.0) & (alpha >= 1.0 / 255.0)
+    return dict(alpha=alpha, m=m, depth_ray=depth_ray, use3d=use3d,
+                sx=sx, sy=sy, pz=pz, G=G, dx=dx, dy=dy,
+                kx=kx, ky=ky, kz=kz, lx=lx, ly=ly, lz=lz,
+                Twx=Twx, Twy=Twy, Twz=Twz)
+
+
+def _fwd_kernel(count_ref, packed_ref, out_ref, iout_ref,
+                Tst, m1s, m2s, done_s, *, tile, grid_x, n_extra):
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    E = n_extra
+
+    @pl.when(c == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        iout_ref[...] = jnp.zeros_like(iout_ref)
+        Tst[...] = jnp.ones_like(Tst)
+        m1s[...] = jnp.zeros_like(m1s)
+        m2s[...] = jnp.zeros_like(m2s)
+        done_s[...] = jnp.zeros_like(done_s)
+
+    count = count_ref[t]
+
+    @pl.when(c * CHUNK < count)
+    def _work():
+        pxf, pyf = _pix_coords(tile, grid_x)
+        bt = packed_ref[0].T                     # [C, D]
+        C = bt.shape[0]
+        g = _splat_terms(bt, pxf, pyf)
+        slot = (c * CHUNK
+                + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0))  # [C,1]
+        m = g["m"] & (slot < count)
+        alpha = g["alpha"]
+        depth_ray = g["depth_ray"]
+
+        T_in = Tst[0:1]                          # [1, P2]
+        done_in = done_s[0:1] > 0
+
+        am = jnp.where(m, alpha, 0.0)
+        log1m = jnp.log(1.0 - am)
+        T_i = T_in * jnp.exp(_cumsum_excl(log1m))
+        done_i = m & (T_i * (1.0 - alpha) < 1e-4)
+        done_cum = (_cumsum_incl(done_i.astype(jnp.float32)) > 0.5) | done_in
+        cmask = m & ~done_cum
+        ac = jnp.where(cmask, alpha, 0.0)
+        log1c = jnp.log(1.0 - ac)
+        cum_c = _cumsum_incl(log1c)
+        T_c = T_in * jnp.exp(cum_c - log1c)      # exclusive
+        w = ac * T_c
+
+        out = out_ref[0]                         # [OC, P2]
+        acc_col = jnp.dot(bt[:, _COL:_COL + 3].T, w,
+                          preferred_element_type=jnp.float32)
+        acc_nrm = jnp.dot(bt[:, _NRM:_NRM + 3].T, w,
+                          preferred_element_type=jnp.float32)
+        acc_dep = jnp.sum(w * depth_ray, axis=0, keepdims=True)
+
+        d_safe = jnp.where(m, depth_ray, 1.0)
+        md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / d_safe)
+        mw = md * w
+        m2w = md * md * w
+        m1_excl = m1s[0:1] + _cumsum_excl(mw)
+        m2_excl = m2s[0:1] + _cumsum_excl(m2w)
+        acc_dist = jnp.sum((md * md * (1.0 - T_c) + m2_excl
+                            - 2.0 * md * m1_excl) * w, axis=0, keepdims=True)
+
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, cmask.shape, 0)
+        cand = cmask & (T_c > 0.5)
+        crank = jnp.max(jnp.where(cand, iota_c + 1, 0), axis=0, keepdims=True)
+        has_cand = crank > 0
+        med_onehot = (iota_c + 1 == crank) & cand
+        med_val = jnp.sum(jnp.where(med_onehot, depth_ray, 0.0), axis=0,
+                          keepdims=True)
+
+        gslot = slot + 1                          # [C,1] global 1-based
+        lastc = jnp.max(jnp.where(cmask, gslot, 0), axis=0, keepdims=True)
+        med_slot = jnp.max(jnp.where(med_onehot, gslot, 0), axis=0,
+                           keepdims=True)
+
+        T_out = T_in * jnp.exp(cum_c[-1:, :])
+
+        out_ref[0, 0:3] = out[0:3] + acc_col
+        out_ref[0, 3:4] = out[3:4] + acc_dep
+        out_ref[0, 4:7] = out[4:7] + acc_nrm
+        out_ref[0, 7:8] = jnp.where(has_cand, med_val, out[7:8])
+        out_ref[0, 8:9] = out[8:9] + acc_dist
+        out_ref[0, 9:10] = T_out
+        if E:
+            acc_ext = jnp.dot(bt[:, _EXT:_EXT + E].T, w,
+                              preferred_element_type=jnp.float32)
+            out_ref[0, 10:10 + E] = out[10:10 + E] + acc_ext
+        # distortion moment totals (residuals for the backward kernel)
+        out_ref[0, 10 + E:11 + E] = m1s[0:1] + jnp.sum(mw, axis=0,
+                                                       keepdims=True)
+        out_ref[0, 11 + E:12 + E] = m2s[0:1] + jnp.sum(m2w, axis=0,
+                                                       keepdims=True)
+
+        iout = iout_ref[0]
+        iout_ref[0, 0:1] = jnp.maximum(iout[0:1], lastc)
+        iout_ref[0, 1:2] = jnp.where(has_cand, med_slot, iout[1:2])
+
+        Tst[0:1] = T_out
+        m1s[0:1] = m1s[0:1] + jnp.sum(mw, axis=0, keepdims=True)
+        m2s[0:1] = m2s[0:1] + jnp.sum(m2w, axis=0, keepdims=True)
+        done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
+
+
+class PallasBlendFwdOut(NamedTuple):
+    # out rows: color3, depth, normal3, med, dist, finalT, E extras,
+    #           m1tot, m2tot (distortion-moment residuals for the backward)
+    out: jnp.ndarray    # [T, 12+E, P2]
+    iout: jnp.ndarray   # [T, 2, P2] int32: n_contrib, med_slot (1-based)
+
+
+def blend_fwd_pallas(packed: jnp.ndarray, tile_count: jnp.ndarray,
+                     tile: int, grid_x: int, n_extra: int,
+                     interpret: bool = False) -> PallasBlendFwdOut:
+    """packed [T, D, K] (K % 128 == 0); tile_count [T] int32."""
+    n_tiles, D, K = packed.shape
+    assert K % CHUNK == 0, K
+    n_chunks = K // CHUNK
+    P2 = tile * tile
+    OC = 12 + n_extra
+
+    def in_index(t, c, count_ref):
+        last = jnp.maximum(pl.cdiv(count_ref[t], CHUNK) - 1, 0)
+        return (t, 0, jnp.minimum(c, last))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, n_chunks),
+        in_specs=[pl.BlockSpec((1, D, CHUNK), in_index)],
+        out_specs=[pl.BlockSpec((1, OC, P2), lambda t, c, cr: (t, 0, 0)),
+                   pl.BlockSpec((1, 2, P2), lambda t, c, cr: (t, 0, 0))],
+        scratch_shapes=[pltpu.VMEM((1, P2), jnp.float32),
+                        pltpu.VMEM((1, P2), jnp.float32),
+                        pltpu.VMEM((1, P2), jnp.float32),
+                        pltpu.VMEM((1, P2), jnp.int32)],
+    )
+    kernel = functools.partial(_fwd_kernel, tile=tile, grid_x=grid_x,
+                               n_extra=n_extra)
+    out, iout = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, OC, P2), jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, 2, P2), jnp.int32)],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(tile_count, packed)
+    return PallasBlendFwdOut(out=out, iout=iout)
+
+
+def _bwd_kernel(count_ref, packed_ref, gout_ref, sv_ref, iout_ref, dout_ref,
+                Tst, Ss, *, tile, grid_x, n_extra, n_chunks):
+    """Back-to-front gradient kernel. Grid step c processes forward-chunk
+    cc = n_chunks-1-c; carries: T_exit (transmittance after the remaining
+    suffix) and S = Σ_{later gaussians} dL/dw_k · w_k."""
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    cc = n_chunks - 1 - c
+    E = n_extra
+    count = count_ref[t]
+
+    @pl.when(c == 0)
+    def _init():
+        Tst[0:1] = sv_ref[0, 0:1]   # T_fin
+        Ss[...] = jnp.zeros_like(Ss)
+
+    @pl.when(cc * CHUNK >= count)
+    def _skip():
+        dout_ref[...] = jnp.zeros_like(dout_ref)
+
+    @pl.when(cc * CHUNK < count)
+    def _work():
+        pxf, pyf = _pix_coords(tile, grid_x)
+        bt = packed_ref[0].T                       # [C, D]
+        C = bt.shape[0]
+        g = _splat_terms(bt, pxf, pyf)
+        slot = (cc * CHUNK
+                + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0))
+        gslot = slot + 1
+        alpha = g["alpha"]
+        depth_ray = g["depth_ray"]
+
+        n_contrib = iout_ref[0, 0:1]               # [1, P2] int32
+        med_slot = iout_ref[0, 1:2]
+        T_fin = sv_ref[0, 0:1]
+        m1tot = sv_ref[0, 1:2]
+        m2tot = sv_ref[0, 2:3]
+        a_fin = 1.0 - T_fin
+
+        cmask = g["m"] & (gslot <= n_contrib)
+        ac = jnp.where(cmask, alpha, 0.0)
+        log1c = jnp.log(1.0 - ac)
+        cum_in = _cumsum_incl(log1c)
+        T_exit = Tst[0:1]
+        T_entry = T_exit * jnp.exp(-cum_in[-1:, :])
+        T_i = T_entry * jnp.exp(cum_in - log1c)    # exclusive prefix
+        w = ac * T_i
+
+        gcol = gout_ref[0, 0:3]                    # [3, P2]
+        gD = gout_ref[0, 3:4]
+        gnrm = gout_ref[0, 4:7]
+        gmed = gout_ref[0, 7:8]
+        gdist = gout_ref[0, 8:9]
+        gTfin = gout_ref[0, 9:10]
+
+        colors = bt[:, _COL:_COL + 3]              # [C,3]
+        normals = bt[:, _NRM:_NRM + 3]
+        d_safe = jnp.where(cmask, depth_ray, 1.0)
+        md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / d_safe)
+
+        dLdw = (jnp.dot(colors, gcol, preferred_element_type=jnp.float32)
+                + jnp.dot(normals, gnrm, preferred_element_type=jnp.float32)
+                + depth_ray * gD
+                + gdist * (md * md * a_fin + m2tot - 2.0 * md * m1tot))
+        if E:
+            extras = bt[:, _EXT:_EXT + E]
+            gext = gout_ref[0, 10:10 + E]
+            dLdw = dLdw + jnp.dot(extras, gext,
+                                  preferred_element_type=jnp.float32)
+
+        dw_w = jnp.where(cmask, dLdw * w, 0.0)
+        tot = jnp.sum(dw_w, axis=0, keepdims=True)
+        S_after = Ss[0:1] + (tot - _cumsum_incl(dw_w))
+        one_minus = 1.0 - ac
+        dLda = dLdw * T_i - (S_after + gTfin * T_fin) / one_minus
+        dLda = jnp.where(cmask, dLda, 0.0)
+
+        G = g["G"]
+        dLdG = bt[:, _OPA:_OPA + 1] * dLda
+        dopa = jnp.where(cmask, G * dLda, 0.0)
+        dLdrho = -0.5 * G * dLdG
+
+        is_med = cmask & (gslot == med_slot)
+        dmd_dd = (FAR_N * NEAR_N) / ((FAR_N - NEAR_N) * d_safe * d_safe)
+        dLdd = (w * gD + jnp.where(is_med, gmed, 0.0)
+                + gdist * 2.0 * w * (md * a_fin - m1tot) * dmd_dd)
+        dLdd = jnp.where(cmask, dLdd, 0.0)
+
+        use3d = g["use3d"] & cmask
+        sx, sy, pz = g["sx"], g["sy"], g["pz"]
+        Twx, Twy, Twz = g["Twx"], g["Twy"], g["Twz"]
+        # --- 3d branch: grads through s and the ray-splat depth
+        dLdsx = jnp.where(use3d, dLdrho * 2.0 * sx + dLdd * Twx, 0.0)
+        dLdsy = jnp.where(use3d, dLdrho * 2.0 * sy + dLdd * Twy, 0.0)
+        dLdpx = dLdsx / pz
+        dLdpy = dLdsy / pz
+        dLdpz = -(dLdsx * sx + dLdsy * sy) / pz
+        kx, ky, kz = g["kx"], g["ky"], g["kz"]
+        lx, ly, lz = g["lx"], g["ly"], g["lz"]
+        dkx = ly * dLdpz - lz * dLdpy
+        dky = lz * dLdpx - lx * dLdpz
+        dkz = lx * dLdpy - ly * dLdpx
+        dlx = dLdpy * kz - dLdpz * ky
+        dly = dLdpz * kx - dLdpx * kz
+        dlz = dLdpx * ky - dLdpy * kx
+        dTu = (-dkx, -dky, -dkz)
+        dTv = (-dlx, -dly, -dlz)
+        dd3 = jnp.where(use3d, dLdd, 0.0)
+        dd2 = jnp.where(use3d, 0.0, dLdd)
+        dTw = (pxf * dkx + pyf * dlx + dd3 * sx,
+               pxf * dky + pyf * dly + dd3 * sy,
+               pxf * dkz + pyf * dlz + dd3 + dd2)
+        # --- 2d branch: grads to the low-pass center
+        in2d = cmask & ~g["use3d"]
+        dxq, dyq = g["dx"], g["dy"]
+        dxy_x = jnp.where(in2d, dLdrho * FILTER_INV_SQUARE * 2.0 * dxq, 0.0)
+        dxy_y = jnp.where(in2d, dLdrho * FILTER_INV_SQUARE * 2.0 * dyq, 0.0)
+
+        # --- per-gaussian reductions (over the pixel lane axis)
+        def rsum(x):
+            return jnp.sum(x, axis=1, keepdims=True)     # [C,1]
+
+        dT_rows = [rsum(v) for v in (dTu + dTv + dTw)]    # 9 × [C,1]
+        dxy_rows = [rsum(dxy_x), rsum(dxy_y)]
+        dnrm = jnp.dot(w, gnrm.T, preferred_element_type=jnp.float32)  # [C,3]
+        dcol = jnp.dot(w, gcol.T, preferred_element_type=jnp.float32)
+        rows = jnp.concatenate(
+            dT_rows + dxy_rows
+            + [dnrm[:, 0:1], dnrm[:, 1:2], dnrm[:, 2:3], rsum(dopa),
+               dcol[:, 0:1], dcol[:, 1:2], dcol[:, 2:3]], axis=1)  # [C, 18]
+        if E:
+            gext = gout_ref[0, 10:10 + E]
+            dext = jnp.dot(w, gext.T, preferred_element_type=jnp.float32)
+            rows = jnp.concatenate([rows, dext], axis=1)  # [C, 18+E]
+        dout_ref[0] = rows.T                               # [D, C]
+
+        Tst[0:1] = T_entry
+        Ss[0:1] = Ss[0:1] + tot
+
+
+def blend_bwd_pallas(packed: jnp.ndarray, gout: jnp.ndarray,
+                     saved: jnp.ndarray, iout: jnp.ndarray,
+                     tile_count: jnp.ndarray, tile: int, grid_x: int,
+                     n_extra: int, interpret: bool = False) -> jnp.ndarray:
+    """Returns d(packed) [T, D, K]. saved: [T, 3, P2] (T_fin, M1tot, M2tot)."""
+    n_tiles, D, K = packed.shape
+    n_chunks = K // CHUNK
+    P2 = tile * tile
+    OC = 12 + n_extra
+
+    def in_index(t, c, count_ref):
+        cc = n_chunks - 1 - c
+        last = jnp.maximum(pl.cdiv(count_ref[t], CHUNK) - 1, 0)
+        return (t, 0, jnp.minimum(cc, last))
+
+    def out_index(t, c, count_ref):
+        return (t, 0, n_chunks - 1 - c)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, n_chunks),
+        in_specs=[pl.BlockSpec((1, D, CHUNK), in_index),
+                  pl.BlockSpec((1, OC, P2), lambda t, c, cr: (t, 0, 0)),
+                  pl.BlockSpec((1, 3, P2), lambda t, c, cr: (t, 0, 0)),
+                  pl.BlockSpec((1, 2, P2), lambda t, c, cr: (t, 0, 0))],
+        out_specs=[pl.BlockSpec((1, D, CHUNK), out_index)],
+        scratch_shapes=[pltpu.VMEM((1, P2), jnp.float32),
+                        pltpu.VMEM((1, P2), jnp.float32)],
+    )
+    kernel = functools.partial(_bwd_kernel, tile=tile, grid_x=grid_x,
+                               n_extra=n_extra, n_chunks=n_chunks)
+    dpacked = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, D, K), jnp.float32)],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(tile_count, packed, gout, saved, iout)[0]
+    return dpacked
+
+
+# ---------------------------------------------------------------- custom VJP
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def blend_pallas_diff(packed, tile_count, tile, grid_x, n_extra, interpret):
+    """Differentiable Pallas blend: packed [T,D,K] → (out [T,OC,P2],
+    iout [T,2,P2]). VJP runs the back-to-front kernel; iout grads ignored."""
+    f = blend_fwd_pallas(packed, tile_count, tile, grid_x, n_extra, interpret)
+    return f.out, f.iout
+
+
+def _blend_diff_fwd(packed, tile_count, tile, grid_x, n_extra, interpret):
+    f = blend_fwd_pallas(packed, tile_count, tile, grid_x, n_extra, interpret)
+    E = n_extra
+    saved = jnp.concatenate([f.out[:, 9:10],            # T_fin
+                             f.out[:, 10 + E:12 + E]],  # M1tot, M2tot
+                            axis=1)
+    return (f.out, f.iout), (packed, tile_count, saved, f.iout)
+
+
+def _blend_diff_bwd(tile, grid_x, n_extra, interpret, res, cts):
+    packed, tile_count, saved, iout = res
+    gout, _ = cts
+    dpacked = blend_bwd_pallas(packed, gout, saved, iout, tile_count, tile,
+                               grid_x, n_extra, interpret)
+    return dpacked, None
+
+
+blend_pallas_diff.defvjp(_blend_diff_fwd, _blend_diff_bwd)

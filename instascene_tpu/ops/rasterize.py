@@ -38,16 +38,59 @@ class RasterizeConfig:
     height: int
     tile: int = 16
     chunk: int = 32
-    pair_cap: int = 0        # 0 → auto: max(64*1024, 16*N)
+    pair_cap: int = 0        # 0 → auto: max(64*1024, 4*N)
     tile_cap: int = 0        # 0 → auto: min(pair_cap, 4096)
     track_contrib: bool = False
+    impl: str = "auto"       # 'auto' | 'xla' | 'pallas'
 
     def resolved(self, n: int) -> "RasterizeConfig":
-        pair_cap = self.pair_cap or max(64 * 1024, 16 * n)
+        # auto caps are deliberately tight — the sort is O(pair_cap); callers
+        # (trainers) grow caps when n_dropped > 0
+        import jax
+        pair_cap = self.pair_cap or max(64 * 1024, 4 * n)
         tile_cap = self.tile_cap or min(pair_cap, 4096)
-        tile_cap = ((tile_cap + self.chunk - 1) // self.chunk) * self.chunk
-        return RasterizeConfig(self.width, self.height, self.tile, self.chunk,
-                               pair_cap, tile_cap, self.track_contrib)
+        impl = self.impl
+        if impl == "auto":
+            impl = ("pallas" if jax.default_backend() not in ("cpu",)
+                    and not self.track_contrib else "xla")
+        chunk = self.chunk
+        if impl == "pallas":
+            from .blend_pallas import CHUNK as PALLAS_CHUNK
+            chunk = PALLAS_CHUNK
+        tile_cap = ((tile_cap + chunk - 1) // chunk) * chunk
+        return RasterizeConfig(self.width, self.height, self.tile, chunk,
+                               pair_cap, tile_cap, self.track_contrib, impl)
+
+
+def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
+                      width, height, cfg):
+    """Differentiable Pallas blend → BlendOut (tracker unsupported here)."""
+    from .blend import BlendOut as _BlendOut
+    from .blend_pallas import blend_pallas_diff
+    from .rasterize_pallas import maps_from_pallas
+
+    n = pre.T.shape[0]
+    E = extras.shape[1] if extras is not None else 0
+    grid_x = (width + cfg.tile - 1) // cfg.tile
+    cols = [T_used.reshape(n, 9), pre.xy, pre.normal_view,
+            jnp.reshape(opacities, (n, 1)), pre.color]
+    if extras is not None:
+        cols.append(extras)
+    flat = jnp.concatenate(cols, axis=1)
+    flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)],
+                           axis=0)
+    packed = jnp.transpose(flat[binning.tile_indices], (0, 2, 1))
+    interp = jax.default_backend() == "cpu"  # tests exercise interpret mode
+    out, iout = blend_pallas_diff(packed, binning.tile_count.astype(jnp.int32),
+                                  cfg.tile, grid_x, E, interp)
+    maps = maps_from_pallas(out, iout, width, height, cfg.tile, E)
+    color = maps["color_nobg"] + maps["final_T"][..., None] * bg
+    return _BlendOut(color=color, depth=maps["depth"],
+                     alpha=1.0 - maps["final_T"], normal=maps["normal"],
+                     median_depth=maps["median_depth"],
+                     distortion=maps["distortion"], extra=maps["extra"],
+                     final_T=maps["final_T"], n_contrib=maps["n_contrib"],
+                     contrib_ids=None, contrib_w=None)
 
 
 class RasterizeOut(NamedTuple):
@@ -71,6 +114,15 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
 
     n = means3d.shape[0]
     T_used = pre.T if t_offset is None else pre.T + t_offset
+    if cfg.impl == "pallas":
+        out = _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
+                                width, height, cfg)
+        return RasterizeOut(blend=out,
+                            radii=pre.radius.astype(jnp.int32),
+                            visible=pre.valid & (pre.radius > 0),
+                            depth=pre.depth,
+                            n_dropped=binning.n_dropped,
+                            T=pre.T)
     packT = jnp.concatenate([T_used.reshape(n, 9),
                              jnp.zeros((1, 9), T_used.dtype)], axis=0)
     pad1 = lambda a: jnp.concatenate(

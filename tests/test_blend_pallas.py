@@ -1,0 +1,209 @@
+"""Pallas blend kernels vs the XLA blend path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from instascene_tpu.cameras import Camera
+from instascene_tpu.data.synthetic import look_at
+from instascene_tpu.ops.binning import bin_gaussians
+from instascene_tpu.ops.blend import blend_tiles
+from instascene_tpu.ops.blend_pallas import CHUNK, blend_fwd_pallas
+from instascene_tpu.ops.preprocess import preprocess_gaussians
+
+W, H = 48, 32
+TILE = 16
+GRID_X = W // TILE
+
+
+def build_packed(rng, n=80, extra_dim=4, tile_cap=CHUNK * 2):
+    pos = np.array([0.0, -3.5, 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="t", width=W, height=H)
+    xyz = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    scales = np.exp(rng.normal(-2.0, 0.4, (n, 2))).astype(np.float32)
+    rots = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.98, (n,)).astype(np.float32)
+    color = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    extra = rng.normal(size=(n, extra_dim)).astype(np.float32)
+
+    pre = preprocess_gaussians(
+        jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(rots),
+        jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+        jnp.asarray(cam.camera_center), W, H, color=jnp.asarray(color))
+    binning = bin_gaussians(pre, W, H, pair_cap=8192, tile_cap=tile_cap)
+    assert int(binning.n_dropped) == 0
+
+    pad1 = lambda a: jnp.concatenate(
+        [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
+    flat = jnp.concatenate([
+        pre.T.reshape(n, 9), pre.xy, pre.normal_view,
+        jnp.asarray(opac)[:, None], pre.color, jnp.asarray(extra)], axis=1)
+    flat = pad1(flat)
+    packed = flat[binning.tile_indices]          # [T, K, D]
+    packed_t = jnp.transpose(packed, (0, 2, 1))  # [T, D, K]
+    args = dict(tile_indices=binning.tile_indices,
+                packT=pad1(pre.T.reshape(n, 9)), xy=pad1(pre.xy),
+                normal=pad1(pre.normal_view), opacity=pad1(jnp.asarray(opac)),
+                color=pad1(pre.color), extra=pad1(jnp.asarray(extra)))
+    return packed_t, binning.tile_count, args, extra_dim
+
+
+def test_pallas_fwd_matches_xla(rng):
+    packed_t, tile_count, args, E = build_packed(rng)
+    ref = blend_tiles(args["tile_indices"], args["packT"], args["xy"],
+                      args["normal"], args["opacity"], args["color"],
+                      args["extra"], jnp.zeros(3), W, H, tile=TILE, chunk=16)
+
+    out = blend_fwd_pallas(packed_t, tile_count.astype(jnp.int32), TILE,
+                           GRID_X, E, interpret=True)
+
+    def to_map(x):  # [T, C, P2] -> [H, W, C]
+        T_, C_, P2 = x.shape
+        gy = H // TILE
+        x = x.reshape(gy, GRID_X, C_, TILE, TILE)
+        x = np.moveaxis(np.moveaxis(x, 2, 4), (0, 2), (0, 1))
+        # shape now [gy, TILE, GRID_X, TILE, C]
+        return x.reshape(gy * TILE, GRID_X * TILE, C_)[:H, :W]
+
+    maps = to_map(np.asarray(out.out))
+    color = maps[..., 0:3]
+    depth = maps[..., 3]
+    normal = maps[..., 4:7]
+    med = maps[..., 7]
+    dist = maps[..., 8]
+    final_T = maps[..., 9]
+    extra = maps[..., 10:10 + E]
+
+    # note: ref.color has bg composited; compare pre-bg accumulation
+    ref_color_nobg = np.asarray(ref.color)  # bg=0 → same
+    assert np.allclose(color, ref_color_nobg, atol=3e-4), np.abs(
+        color - ref_color_nobg).max()
+    assert np.allclose(depth, np.asarray(ref.depth), atol=3e-3)
+    assert np.allclose(normal, np.asarray(ref.normal), atol=3e-4)
+    assert np.allclose(med, np.asarray(ref.median_depth), atol=3e-3)
+    assert np.allclose(dist, np.asarray(ref.distortion), atol=3e-3)
+    assert np.allclose(final_T, np.asarray(ref.final_T), atol=2e-5)
+    assert np.allclose(extra, np.asarray(ref.extra), atol=5e-4)
+
+    imaps = to_map(np.asarray(out.iout))
+    assert np.array_equal(imaps[..., 0], np.asarray(ref.n_contrib))
+
+
+def test_pallas_bwd_matches_xla_grads(rng):
+    """custom-VJP Pallas blend grads vs jax.grad through the XLA blend."""
+    from instascene_tpu.ops.blend_pallas import blend_pallas_diff
+
+    packed_t, tile_count, args, E = build_packed(rng)
+    key = jax.random.PRNGKey(1)
+    OC = 12 + E
+    n_tiles, P2 = packed_t.shape[0], TILE * TILE
+    # random cotangent weights over the public output rows (zero for the
+    # m1/m2 residual rows and for n_contrib)
+    wout = jax.random.normal(key, (n_tiles, OC, P2))
+    wout = wout.at[:, 10 + E:].set(0.0)
+
+    def loss_pallas(p):
+        out, _ = blend_pallas_diff(p, tile_count.astype(jnp.int32), TILE,
+                                   GRID_X, E, True)
+        return jnp.sum(out * wout)
+
+    val_p = loss_pallas(packed_t)
+    g_pallas = jax.grad(loss_pallas)(packed_t)          # [T, D, K]
+
+    # equivalent loss through the XLA path: rebuild the same per-row weights
+    def loss_xla(packT, xy, normal, opacity, color, extra):
+        ref = blend_tiles(args["tile_indices"], packT, xy, normal, opacity,
+                          color, extra, jnp.zeros(3), W, H, tile=TILE,
+                          chunk=16)
+        gy = H // TILE
+
+        def from_map(img):  # [H,W,(C)] -> [T, C, P2]
+            if img.ndim == 2:
+                img = img[..., None]
+            c = img.shape[-1]
+            x = img.reshape(gy, TILE, GRID_X, TILE, c)
+            x = jnp.transpose(x, (0, 2, 4, 1, 3))
+            return x.reshape(n_tiles, c, P2)
+
+        total = (jnp.sum(from_map(ref.color) * wout[:, 0:3])
+                 + jnp.sum(from_map(ref.depth) * wout[:, 3:4])
+                 + jnp.sum(from_map(ref.normal) * wout[:, 4:7])
+                 + jnp.sum(from_map(ref.median_depth) * wout[:, 7:8])
+                 + jnp.sum(from_map(ref.distortion) * wout[:, 8:9])
+                 + jnp.sum(from_map(ref.final_T) * wout[:, 9:10])
+                 + jnp.sum(from_map(ref.extra) * wout[:, 10:10 + E]))
+        return total
+
+    xargs = (args["packT"], args["xy"], args["normal"], args["opacity"],
+             args["color"], args["extra"])
+    val_x = loss_xla(*xargs)
+    assert np.isclose(float(val_p), float(val_x), rtol=1e-4), (val_p, val_x)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5))(*xargs)
+
+    # scatter-add pallas packed grads back to per-gaussian grads
+    tidx = np.asarray(args["tile_indices"])              # [T, K]
+    gp = np.asarray(jnp.transpose(g_pallas, (0, 2, 1)))  # [T, K, D]
+    n1 = args["packT"].shape[0]
+    D = gp.shape[-1]
+    acc = np.zeros((n1, D), np.float32)
+    np.add.at(acc, tidx.reshape(-1), gp.reshape(-1, D))
+
+    names = ["packT", "xy", "normal", "opacity", "color", "extra"]
+    slices = [slice(0, 9), slice(9, 11), slice(11, 14), slice(14, 15),
+              slice(15, 18), slice(18, 18 + E)]
+    for nm, sl, gx in zip(names, slices, g_xla):
+        a = acc[:, sl]
+        b = np.asarray(gx).reshape(n1, -1)
+        denom = np.abs(b).max() + 1e-8
+        err = np.abs(a - b).max() / denom
+        assert err < 3e-3, (nm, err, np.abs(b).max())
+
+
+def test_rasterize_impl_pallas_matches_xla(rng):
+    """Full rasterize() with impl='pallas' (interpret) vs impl='xla',
+    values and grads."""
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              rasterize)
+    pos = np.array([0.0, -3.5, 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="t", width=W, height=H)
+    n = 60
+    xyz = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    scales = np.exp(rng.normal(-2.0, 0.4, (n, 2))).astype(np.float32)
+    rots = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.95, (n,)).astype(np.float32)
+    color = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    bg = jnp.asarray([0.2, 0.1, 0.4])
+
+    def loss(impl, xyz_, opac_):
+        cfg = RasterizeConfig(width=W, height=H, pair_cap=8192, tile_cap=256,
+                              impl=impl)
+        out = rasterize(xyz_, jnp.asarray(scales), jnp.asarray(rots), opac_,
+                        cm, bg, cfg, colors=jnp.asarray(color))
+        b = out.blend
+        return (jnp.sum(b.color ** 2) + jnp.sum(b.distortion)
+                + jnp.sum(b.median_depth) + jnp.sum(b.normal ** 2)
+                + jnp.sum(b.alpha)), b
+
+    (vx, bx) = loss("xla", jnp.asarray(xyz), jnp.asarray(opac))
+    (vp, bp) = loss("pallas", jnp.asarray(xyz), jnp.asarray(opac))
+    assert np.isclose(float(vx), float(vp), rtol=2e-4)
+    assert np.allclose(np.asarray(bx.color), np.asarray(bp.color), atol=3e-4)
+
+    gx = jax.grad(lambda a, b: loss("xla", a, b)[0], argnums=(0, 1))(
+        jnp.asarray(xyz), jnp.asarray(opac))
+    gp = jax.grad(lambda a, b: loss("pallas", a, b)[0], argnums=(0, 1))(
+        jnp.asarray(xyz), jnp.asarray(opac))
+    for a, b, nm in zip(gx, gp, ("xyz", "opac")):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / denom < 5e-3, (
+            nm, np.abs(a - b).max(), denom)
