@@ -55,11 +55,13 @@ def make_bench_scene(n=300_000, seed=0):
 
 
 def bench_semantic(params, make_cam, width=976, height=728, iters=20):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from instascene_tpu.models.optimizer import init_adam_state, semantic_lrs
     from instascene_tpu.config import OptimizationParams
+    from instascene_tpu.models.optimizer import init_adam_state, semantic_lrs
     from instascene_tpu.ops.rasterize import RasterizeConfig
     from instascene_tpu.pipelines.train import camera_tensors
     from instascene_tpu.pipelines.train_semantic import semantic_train_step
@@ -79,13 +81,24 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
     lab3d = jnp.asarray(rng.integers(0, 40, params.capacity).astype(np.int32))
     cf = jnp.zeros((64, 16))
 
+    # frozen-geometry binning cache (as the semantic trainer does)
+    from instascene_tpu.ops.rasterize import CameraMats, compute_binning_cache
+    cache = []
+    for ct in cams:
+        cb, tc, nd = compute_binning_cache(
+            params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
+            width, height)
+        cache.append(cb)
+    mv_cb = tuple(jnp.zeros((n_mv,) + a.shape, jnp.int32) for a in cache[0])
+
     def one(i, p, s, k):
         ct = cams[i % len(cams)]
         k, sub = jax.random.split(k)
         p, s, loss = semantic_train_step(
             p, s, sub, ct.w2v, ct.full_proj, ct.campos, segmap, segmap,
             *zeros_mv, lab3d, cf, jnp.zeros(3), lrs,
-            1e-6, 0.0, 2.5e-6, cfg, 32 * 1024, 64, False, False, False, n_mv)
+            1e-6, 0.0, 2.5e-6, cfg, 32 * 1024, 64, False, False, False, n_mv,
+            cached_binning=cache[i % len(cams)], mv_cached_binning=mv_cb)
         return p, s, k, loss
 
     # compile

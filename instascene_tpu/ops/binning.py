@@ -3,18 +3,25 @@
 TPU-native replacement for cuda_rasterizer/rasterizer_impl.cu:70-138
 (duplicateWithKeys + CUB radix sort + identifyTileRanges). XLA needs static
 shapes, so pairs live in a fixed-capacity buffer (`pair_cap`) with overflow
-reporting, and the per-tile gaussian lists are materialized as a padded
-[num_tiles, tile_cap] index matrix gathered from the sorted flat list.
+reporting.
+
+Two consumable layouts:
+  * padded  — [num_tiles, tile_cap] index matrix (XLA blend path; simple but
+    pays max-per-tile padding)
+  * aligned — pairs packed contiguously per tile, each tile's segment padded
+    to a CHUNK multiple (Pallas path: the kernel walks real chunks only, and
+    the backward inverts the sort with pure gathers — see AlignedLayout)
 
 The expansion uses the scatter-ones + cumsum "interval expand" trick instead of
-one-thread-per-gaussian atomics; sorting uses a lexicographic (tile, depth)
-jax.lax.sort instead of packed 64-bit radix keys. Deterministic by construction.
-All outputs are index data — gradients never flow through this module.
+one-thread-per-gaussian atomics; sorting uses a single fused int32 key
+(tile bits | quantized depth) under jax.lax.sort instead of 64-bit radix keys.
+Deterministic by construction. All outputs are index data — gradients never
+flow through this module.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,18 +29,45 @@ import numpy as np
 
 from .preprocess import PreprocessOut
 
+ALIGN = 128  # chunk alignment of the aligned layout (= blend_pallas.CHUNK)
+
+
+class AlignedLayout(NamedTuple):
+    """Pairs grouped by tile, each tile's segment CHUNK-aligned.
+
+    aligned_gid      [aligned_cap]  gaussian id per aligned slot (N sentinel)
+    chunk_tile       [n_chunks]     owning tile per chunk (num_tiles sentinel)
+    chunk_rank       [n_chunks]     chunk index within its tile
+    aligned_of_orig  [pair_cap]     aligned slot of each original pair
+    gauss_offsets    [N]            exclusive pair-count prefix per gaussian
+    gauss_csum       [N]            inclusive pair-count prefix per gaussian
+    """
+    aligned_gid: jnp.ndarray
+    chunk_tile: jnp.ndarray
+    chunk_rank: jnp.ndarray
+    aligned_of_orig: jnp.ndarray
+    gauss_offsets: jnp.ndarray
+    gauss_csum: jnp.ndarray
+
+
+def aligned_cap(pair_cap: int, num_tiles: int) -> int:
+    return pair_cap + num_tiles * ALIGN
+
 
 class BinningOut(NamedTuple):
-    tile_indices: jnp.ndarray   # [num_tiles, tile_cap] int32 gaussian ids; N = sentinel
+    tile_indices: Optional[jnp.ndarray]  # [num_tiles, tile_cap] int32; N sentinel
     tile_count: jnp.ndarray     # [num_tiles] int32 (uncapped true count)
     tile_start: jnp.ndarray     # [num_tiles] int32 offsets into the sorted list
     sorted_gid: jnp.ndarray     # [pair_cap] int32 (sentinel N beyond total)
     total_pairs: jnp.ndarray    # [] int32
     n_dropped: jnp.ndarray      # [] int32 pairs dropped by pair_cap/tile_cap
+    aligned: Optional[AlignedLayout]
 
 
 def bin_gaussians(pre: PreprocessOut, width: int, height: int,
-                  pair_cap: int, tile_cap: int, tile: int = 16) -> BinningOut:
+                  pair_cap: int, tile_cap: int, tile: int = 16,
+                  layout: str = "padded") -> BinningOut:
+    """layout: 'padded' | 'aligned' | 'both'."""
     n = pre.depth.shape[0]
     grid_x = (width + tile - 1) // tile
     grid_y = (height + tile - 1) // tile
@@ -68,17 +102,23 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     # single fused int32 sort key: tile_id in the high bits, depth quantized
     # into the remaining bits (the CUDA reference sorts exact f32 depth bits;
     # sub-quantum depth ties get an arbitrary — but deterministic — order,
-    # which only permutes near-coincident splats). One int32 key + one payload
+    # which only permutes near-coincident splats). One int32 key + payloads
     # sorts ~3x faster than a 2-key lexicographic sort on TPU.
     tile_bits = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
-    depth_bits = 31 - tile_bits
+    # ≤22 depth bits keeps the f32 product exact (24-bit mantissa); clamp
+    # after the cast so the deepest gaussian cannot round up into the next
+    # tile's key range
+    depth_bits = min(22, 31 - tile_bits)
     d = depth[gid]
     dmin = jnp.min(jnp.where(slot_valid, d, jnp.inf))
     dmax = jnp.max(jnp.where(slot_valid, d, -jnp.inf))
     dq = jnp.clip((d - dmin) / jnp.maximum(dmax - dmin, 1e-12), 0.0, 1.0)
-    dq = (dq * ((1 << depth_bits) - 1)).astype(jnp.int32)
+    dq = jnp.clip((dq * ((1 << depth_bits) - 1)).astype(jnp.int32),
+                  0, (1 << depth_bits) - 1)
     key = tile_id * (1 << depth_bits) + jnp.where(slot_valid, dq, 0)
-    sorted_key, sorted_gid = jax.lax.sort((key, gid), num_keys=1)
+    arange_pairs = jnp.arange(pair_cap, dtype=jnp.int32)
+    sorted_key, sorted_gid, sort_perm = jax.lax.sort(
+        (key, gid, arange_pairs), num_keys=1)
     sorted_tile = (sorted_key >> depth_bits).astype(jnp.int32)
     sorted_gid = jnp.where(sorted_tile < num_tiles, sorted_gid, n)
 
@@ -90,17 +130,68 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
                                 ).astype(jnp.int32)
     tile_count = tile_end - tile_start
 
-    # padded per-tile index matrix (gather from the flat sorted list)
-    k_idx = jnp.arange(tile_cap, dtype=jnp.int32)
-    flat_pos = tile_start[:, None] + k_idx[None, :]
-    in_range = k_idx[None, :] < tile_count[:, None]
-    flat_pos = jnp.where(in_range & (flat_pos < pair_cap), flat_pos, pair_cap - 1)
-    tile_indices = jnp.where(in_range, sorted_gid[flat_pos], n)
-    # pairs dropped: beyond pair_cap plus per-tile beyond tile_cap
-    n_dropped = (jnp.maximum(total - pair_cap, 0)
-                 + jnp.sum(jnp.maximum(tile_count - tile_cap, 0)))
+    tile_indices = None
+    if layout in ("padded", "both"):
+        k_idx = jnp.arange(tile_cap, dtype=jnp.int32)
+        flat_pos = tile_start[:, None] + k_idx[None, :]
+        in_range = k_idx[None, :] < tile_count[:, None]
+        flat_pos = jnp.where(in_range & (flat_pos < pair_cap), flat_pos,
+                             pair_cap - 1)
+        tile_indices = jnp.where(in_range, sorted_gid[flat_pos], n
+                                 ).astype(jnp.int32)
 
-    return BinningOut(tile_indices=tile_indices.astype(jnp.int32),
+    aligned = None
+    if layout in ("aligned", "both"):
+        acap = aligned_cap(pair_cap, num_tiles)
+        n_chunks = acap // ALIGN
+        # per-tile aligned segment starts (CHUNK multiples)
+        padded_counts = ((tile_count + ALIGN - 1) // ALIGN) * ALIGN
+        astart = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(padded_counts)[:-1]
+                                  .astype(jnp.int32)])
+        astart_chunks = astart // ALIGN
+        total_chunks = (astart[-1] + padded_counts[-1]) // ALIGN
+        qs = jnp.arange(n_chunks, dtype=jnp.int32)
+        ct = jnp.searchsorted(astart_chunks, qs, side="right"
+                              ).astype(jnp.int32) - 1
+        chunk_tile = jnp.where(qs < total_chunks, ct, num_tiles)
+        chunk_rank = qs - astart_chunks[jnp.clip(ct, 0, num_tiles - 1)]
+        # gaussian id per aligned slot
+        slots = jnp.arange(acap, dtype=jnp.int32)
+        st = chunk_tile[slots // ALIGN]
+        st_c = jnp.clip(st, 0, num_tiles - 1)
+        k_in_tile = slots - astart[st_c]
+        src = tile_start[st_c] + k_in_tile
+        valid_slot = (st < num_tiles) & (k_in_tile < tile_count[st_c]) \
+            & (src < pair_cap)
+        aligned_gid = jnp.where(valid_slot,
+                                sorted_gid[jnp.clip(src, 0, pair_cap - 1)], n)
+        # aligned slot of each original pair (for the scatter-free backward):
+        # invert the sort permutation with ONE int scatter (index data only)
+        inv_perm = jnp.zeros((pair_cap,), jnp.int32).at[sort_perm].set(
+            arange_pairs, mode="drop")
+        sp = inv_perm                                    # sorted position of j
+        t_of = jnp.clip(sorted_tile[jnp.clip(sp, 0, pair_cap - 1)],
+                        0, num_tiles - 1)
+        a_of = astart[t_of] + (sp - tile_start[t_of])
+        pair_ok = slot_valid & (sorted_tile[jnp.clip(sp, 0, pair_cap - 1)]
+                                < num_tiles)
+        aligned_of_orig = jnp.where(pair_ok,
+                                    jnp.clip(a_of, 0, acap - 1), acap - 1)
+        aligned = AlignedLayout(
+            aligned_gid=aligned_gid.astype(jnp.int32),
+            chunk_tile=chunk_tile.astype(jnp.int32),
+            chunk_rank=jnp.clip(chunk_rank, 0, n_chunks).astype(jnp.int32),
+            aligned_of_orig=aligned_of_orig.astype(jnp.int32),
+            gauss_offsets=offsets.astype(jnp.int32),
+            gauss_csum=csum.astype(jnp.int32))
+
+    # pairs dropped: beyond pair_cap (plus per-tile beyond tile_cap for padded)
+    n_dropped = jnp.maximum(total - pair_cap, 0)
+    if layout in ("padded", "both"):
+        n_dropped = n_dropped + jnp.sum(jnp.maximum(tile_count - tile_cap, 0))
+
+    return BinningOut(tile_indices=tile_indices,
                       tile_count=tile_count, tile_start=tile_start,
                       sorted_gid=sorted_gid, total_pairs=total,
-                      n_dropped=n_dropped)
+                      n_dropped=n_dropped, aligned=aligned)

@@ -68,10 +68,11 @@ def _pix_coords(tile: int, grid_x: int):
     t = pl.program_id(0)
     ty = (t // grid_x).astype(jnp.float32)
     tx = (t % grid_x).astype(jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 1)
-    row = jax.lax.broadcasted_iota(jnp.float32, (tile, tile), 0)
-    pxf = (tx * tile + lane).reshape(1, -1)   # [1, P2]
-    pyf = (ty * tile + row).reshape(1, -1)
+    # build flat [1, P2] coords directly (Mosaic: no (t,t)→(1,P2) reshape,
+    # integer iota only)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, tile * tile), 1)
+    pxf = (tx * tile + (p % tile).astype(jnp.float32))
+    pyf = (ty * tile + (p // tile).astype(jnp.float32))
     return pxf, pyf
 
 
@@ -464,3 +465,387 @@ def _blend_diff_bwd(tile, grid_x, n_extra, interpret, res, cts):
 
 
 blend_pallas_diff.defvjp(_blend_diff_fwd, _blend_diff_bwd)
+
+
+# ------------------------------------------------------------------
+# Aligned-flat layout kernels: pairs packed contiguously per tile (segments
+# CHUNK-aligned), 1D grid over real chunks only — no max-per-tile padding.
+# The owning tile per chunk is scalar-prefetched; accumulator blocks revisit
+# the same tile row across its consecutive chunks.
+# ------------------------------------------------------------------
+
+def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
+                        Tst, m1s, m2s, done_s, *, tile, grid_x, num_tiles,
+                        n_extra):
+    i = pl.program_id(0)
+    E = n_extra
+    tt = ct_ref[i]
+    prev_tt = ct_ref[jnp.maximum(i - 1, 0)]
+    first = (i == 0) | (tt != prev_tt)
+
+    @pl.when(first & (tt < num_tiles))
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+        iout_ref[...] = jnp.zeros_like(iout_ref)
+        Tst[...] = jnp.ones_like(Tst)
+        m1s[...] = jnp.zeros_like(m1s)
+        m2s[...] = jnp.zeros_like(m2s)
+        done_s[...] = jnp.zeros_like(done_s)
+
+    @pl.when(tt < num_tiles)
+    def _work():
+        ty = (tt // grid_x).astype(jnp.float32)
+        tx = (tt % grid_x).astype(jnp.float32)
+        p = jax.lax.broadcasted_iota(jnp.int32, (1, tile * tile), 1)
+        pxf = tx * tile + (p % tile).astype(jnp.float32)
+        pyf = ty * tile + (p // tile).astype(jnp.float32)
+
+        bt = packed_ref[...].T                   # [C, D]
+        C = bt.shape[0]
+        g = _splat_terms(bt, pxf, pyf)
+        slot = (cr_ref[i] * CHUNK
+                + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0))
+        m = g["m"]
+        alpha = g["alpha"]
+        depth_ray = g["depth_ray"]
+
+        T_in = Tst[0:1]
+        done_in = done_s[0:1] > 0
+
+        am = jnp.where(m, alpha, 0.0)
+        log1m = jnp.log(1.0 - am)
+        T_i = T_in * jnp.exp(_cumsum_excl(log1m))
+        done_i = m & (T_i * (1.0 - alpha) < 1e-4)
+        done_cum = (_cumsum_incl(done_i.astype(jnp.float32)) > 0.5) | done_in
+        cmask = m & ~done_cum
+        ac = jnp.where(cmask, alpha, 0.0)
+        log1c = jnp.log(1.0 - ac)
+        cum_c = _cumsum_incl(log1c)
+        T_c = T_in * jnp.exp(cum_c - log1c)
+        w = ac * T_c
+
+        out = out_ref[0]
+        acc_col = jnp.dot(bt[:, _COL:_COL + 3].T, w,
+                          preferred_element_type=jnp.float32)
+        acc_nrm = jnp.dot(bt[:, _NRM:_NRM + 3].T, w,
+                          preferred_element_type=jnp.float32)
+        acc_dep = jnp.sum(w * depth_ray, axis=0, keepdims=True)
+
+        d_safe = jnp.where(m, depth_ray, 1.0)
+        md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / d_safe)
+        mw = md * w
+        m2w = md * md * w
+        m1_excl = m1s[0:1] + _cumsum_excl(mw)
+        m2_excl = m2s[0:1] + _cumsum_excl(m2w)
+        acc_dist = jnp.sum((md * md * (1.0 - T_c) + m2_excl
+                            - 2.0 * md * m1_excl) * w, axis=0, keepdims=True)
+
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, cmask.shape, 0)
+        cand = cmask & (T_c > 0.5)
+        crank = jnp.max(jnp.where(cand, iota_c + 1, 0), axis=0, keepdims=True)
+        has_cand = crank > 0
+        med_onehot = (iota_c + 1 == crank) & cand
+        med_val = jnp.sum(jnp.where(med_onehot, depth_ray, 0.0), axis=0,
+                          keepdims=True)
+        gslot = slot + 1
+        lastc = jnp.max(jnp.where(cmask, gslot, 0), axis=0, keepdims=True)
+        med_slot = jnp.max(jnp.where(med_onehot, gslot, 0), axis=0,
+                           keepdims=True)
+        T_out = T_in * jnp.exp(cum_c[-1:, :])
+
+        out_ref[0, 0:3] = out[0:3] + acc_col
+        out_ref[0, 3:4] = out[3:4] + acc_dep
+        out_ref[0, 4:7] = out[4:7] + acc_nrm
+        out_ref[0, 7:8] = jnp.where(has_cand, med_val, out[7:8])
+        out_ref[0, 8:9] = out[8:9] + acc_dist
+        out_ref[0, 9:10] = T_out
+        if E:
+            acc_ext = jnp.dot(bt[:, _EXT:_EXT + E].T, w,
+                              preferred_element_type=jnp.float32)
+            out_ref[0, 10:10 + E] = out[10:10 + E] + acc_ext
+        out_ref[0, 10 + E:11 + E] = m1s[0:1] + jnp.sum(mw, axis=0,
+                                                       keepdims=True)
+        out_ref[0, 11 + E:12 + E] = m2s[0:1] + jnp.sum(m2w, axis=0,
+                                                       keepdims=True)
+
+        iout = iout_ref[0]
+        iout_ref[0, 0:1] = jnp.maximum(iout[0:1], lastc)
+        iout_ref[0, 1:2] = jnp.where(has_cand, med_slot, iout[1:2])
+
+        Tst[0:1] = T_out
+        m1s[0:1] = m1s[0:1] + jnp.sum(mw, axis=0, keepdims=True)
+        m2s[0:1] = m2s[0:1] + jnp.sum(m2w, axis=0, keepdims=True)
+        done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
+
+
+def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
+                             chunk_rank: jnp.ndarray, num_tiles: int,
+                             tile: int, grid_x: int, n_extra: int,
+                             interpret: bool = False) -> PallasBlendFwdOut:
+    """packed [D, ACAP] (aligned layout); chunk_tile/chunk_rank [ACAP//128]."""
+    D, acap = packed.shape
+    n_chunks = acap // CHUNK
+    P2 = tile * tile
+    OC = 12 + n_extra
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((D, CHUNK), lambda i, ct, cr: (0, i))],
+        out_specs=[
+            pl.BlockSpec((1, OC, P2),
+                         lambda i, ct, cr: (jnp.minimum(ct[i], num_tiles - 1),
+                                            0, 0)),
+            pl.BlockSpec((1, 2, P2),
+                         lambda i, ct, cr: (jnp.minimum(ct[i], num_tiles - 1),
+                                            0, 0))],
+        scratch_shapes=[pltpu.VMEM((1, P2), jnp.float32),
+                        pltpu.VMEM((1, P2), jnp.float32),
+                        pltpu.VMEM((1, P2), jnp.float32),
+                        pltpu.VMEM((1, P2), jnp.int32)],
+    )
+    kernel = functools.partial(_fwd_kernel_aligned, tile=tile, grid_x=grid_x,
+                               num_tiles=num_tiles, n_extra=n_extra)
+    out, iout = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((num_tiles, OC, P2), jnp.float32),
+                   jax.ShapeDtypeStruct((num_tiles, 2, P2), jnp.int32)],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(chunk_tile, chunk_rank, packed)
+    return PallasBlendFwdOut(out=out, iout=iout)
+
+
+def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
+                        iout_ref, dout_ref, Tst, Ss, *, tile, grid_x,
+                        num_tiles, n_extra, n_chunks):
+    i = pl.program_id(0)
+    j = n_chunks - 1 - i
+    E = n_extra
+    tt = ct_ref[j]
+    next_tt = ct_ref[jnp.minimum(j + 1, n_chunks - 1)]
+    first = (i == 0) | (tt != next_tt)
+
+    @pl.when(tt >= num_tiles)
+    def _skip():
+        dout_ref[...] = jnp.zeros_like(dout_ref)
+
+    @pl.when(first & (tt < num_tiles))
+    def _init():
+        Tst[0:1] = sv_ref[0, 0:1]
+        Ss[...] = jnp.zeros_like(Ss)
+
+    @pl.when(tt < num_tiles)
+    def _work():
+        ty = (tt // grid_x).astype(jnp.float32)
+        tx = (tt % grid_x).astype(jnp.float32)
+        p = jax.lax.broadcasted_iota(jnp.int32, (1, tile * tile), 1)
+        pxf = tx * tile + (p % tile).astype(jnp.float32)
+        pyf = ty * tile + (p // tile).astype(jnp.float32)
+
+        bt = packed_ref[...].T
+        C = bt.shape[0]
+        g = _splat_terms(bt, pxf, pyf)
+        slot = (cr_ref[j] * CHUNK
+                + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0))
+        gslot = slot + 1
+        alpha = g["alpha"]
+        depth_ray = g["depth_ray"]
+
+        n_contrib = iout_ref[0, 0:1]
+        med_slot = iout_ref[0, 1:2]
+        T_fin = sv_ref[0, 0:1]
+        m1tot = sv_ref[0, 1:2]
+        m2tot = sv_ref[0, 2:3]
+        a_fin = 1.0 - T_fin
+
+        cmask = g["m"] & (gslot <= n_contrib)
+        ac = jnp.where(cmask, alpha, 0.0)
+        log1c = jnp.log(1.0 - ac)
+        cum_in = _cumsum_incl(log1c)
+        T_exit = Tst[0:1]
+        T_entry = T_exit * jnp.exp(-cum_in[-1:, :])
+        T_i = T_entry * jnp.exp(cum_in - log1c)
+        w = ac * T_i
+
+        gcol = gout_ref[0, 0:3]
+        gD = gout_ref[0, 3:4]
+        gnrm = gout_ref[0, 4:7]
+        gmed = gout_ref[0, 7:8]
+        gdist = gout_ref[0, 8:9]
+        gTfin = gout_ref[0, 9:10]
+
+        colors = bt[:, _COL:_COL + 3]
+        normals = bt[:, _NRM:_NRM + 3]
+        d_safe = jnp.where(cmask, depth_ray, 1.0)
+        md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / d_safe)
+
+        dLdw = (jnp.dot(colors, gcol, preferred_element_type=jnp.float32)
+                + jnp.dot(normals, gnrm, preferred_element_type=jnp.float32)
+                + depth_ray * gD
+                + gdist * (md * md * a_fin + m2tot - 2.0 * md * m1tot))
+        if E:
+            extras = bt[:, _EXT:_EXT + E]
+            gext = gout_ref[0, 10:10 + E]
+            dLdw = dLdw + jnp.dot(extras, gext,
+                                  preferred_element_type=jnp.float32)
+
+        dw_w = jnp.where(cmask, dLdw * w, 0.0)
+        tot = jnp.sum(dw_w, axis=0, keepdims=True)
+        S_after = Ss[0:1] + (tot - _cumsum_incl(dw_w))
+        one_minus = 1.0 - ac
+        dLda = dLdw * T_i - (S_after + gTfin * T_fin) / one_minus
+        dLda = jnp.where(cmask, dLda, 0.0)
+
+        G = g["G"]
+        dLdG = bt[:, _OPA:_OPA + 1] * dLda
+        dopa = jnp.where(cmask, G * dLda, 0.0)
+        dLdrho = -0.5 * G * dLdG
+
+        is_med = cmask & (gslot == med_slot)
+        dmd_dd = (FAR_N * NEAR_N) / ((FAR_N - NEAR_N) * d_safe * d_safe)
+        dLdd = (w * gD + jnp.where(is_med, gmed, 0.0)
+                + gdist * 2.0 * w * (md * a_fin - m1tot) * dmd_dd)
+        dLdd = jnp.where(cmask, dLdd, 0.0)
+
+        use3d = g["use3d"] & cmask
+        sx, sy, pz = g["sx"], g["sy"], g["pz"]
+        Twx, Twy, Twz = g["Twx"], g["Twy"], g["Twz"]
+        dLdsx = jnp.where(use3d, dLdrho * 2.0 * sx + dLdd * Twx, 0.0)
+        dLdsy = jnp.where(use3d, dLdrho * 2.0 * sy + dLdd * Twy, 0.0)
+        dLdpx = dLdsx / pz
+        dLdpy = dLdsy / pz
+        dLdpz = -(dLdsx * sx + dLdsy * sy) / pz
+        kx, ky, kz = g["kx"], g["ky"], g["kz"]
+        lx, ly, lz = g["lx"], g["ly"], g["lz"]
+        dkx = ly * dLdpz - lz * dLdpy
+        dky = lz * dLdpx - lx * dLdpz
+        dkz = lx * dLdpy - ly * dLdpx
+        dlx = dLdpy * kz - dLdpz * ky
+        dly = dLdpz * kx - dLdpx * kz
+        dlz = dLdpx * ky - dLdpy * kx
+        dd3 = jnp.where(use3d, dLdd, 0.0)
+        dd2 = jnp.where(use3d, 0.0, dLdd)
+        dTw_x = pxf * dkx + pyf * dlx + dd3 * sx
+        dTw_y = pxf * dky + pyf * dly + dd3 * sy
+        dTw_z = pxf * dkz + pyf * dlz + dd3 + dd2
+        in2d = cmask & ~g["use3d"]
+        dxq, dyq = g["dx"], g["dy"]
+        dxy_x = jnp.where(in2d, dLdrho * FILTER_INV_SQUARE * 2.0 * dxq, 0.0)
+        dxy_y = jnp.where(in2d, dLdrho * FILTER_INV_SQUARE * 2.0 * dyq, 0.0)
+
+        def rsum(x):
+            return jnp.sum(x, axis=1, keepdims=True)
+
+        dnrm = jnp.dot(w, gnrm.T, preferred_element_type=jnp.float32)
+        dcol = jnp.dot(w, gcol.T, preferred_element_type=jnp.float32)
+        rows = jnp.concatenate(
+            [rsum(-dkx), rsum(-dky), rsum(-dkz),
+             rsum(-dlx), rsum(-dly), rsum(-dlz),
+             rsum(dTw_x), rsum(dTw_y), rsum(dTw_z),
+             rsum(dxy_x), rsum(dxy_y),
+             dnrm[:, 0:1], dnrm[:, 1:2], dnrm[:, 2:3], rsum(dopa),
+             dcol[:, 0:1], dcol[:, 1:2], dcol[:, 2:3]], axis=1)
+        if E:
+            gext = gout_ref[0, 10:10 + E]
+            dext = jnp.dot(w, gext.T, preferred_element_type=jnp.float32)
+            rows = jnp.concatenate([rows, dext], axis=1)
+        dout_ref[...] = rows.T
+
+        Tst[0:1] = T_entry
+        Ss[0:1] = Ss[0:1] + tot
+
+
+def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
+                             chunk_rank, num_tiles: int, tile: int,
+                             grid_x: int, n_extra: int,
+                             interpret: bool = False) -> jnp.ndarray:
+    D, acap = packed.shape
+    n_chunks = acap // CHUNK
+    P2 = tile * tile
+    OC = 12 + n_extra
+
+    def tile_of(i, ct):
+        return jnp.minimum(ct[n_chunks - 1 - i], num_tiles - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((D, CHUNK), lambda i, ct, cr: (0, n_chunks - 1 - i)),
+            pl.BlockSpec((1, OC, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0)),
+            pl.BlockSpec((1, 3, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0)),
+            pl.BlockSpec((1, 2, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0))],
+        out_specs=[pl.BlockSpec((D, CHUNK),
+                                lambda i, ct, cr: (0, n_chunks - 1 - i))],
+        scratch_shapes=[pltpu.VMEM((1, P2), jnp.float32),
+                        pltpu.VMEM((1, P2), jnp.float32)],
+    )
+    kernel = functools.partial(_bwd_kernel_aligned, tile=tile, grid_x=grid_x,
+                               num_tiles=num_tiles, n_extra=n_extra,
+                               n_chunks=n_chunks)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((D, acap), jnp.float32)],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(chunk_tile, chunk_rank, packed, gout, saved, iout)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def blend_aligned_diff(flat, binning_bundle, num_tiles, tile, grid_x,
+                       n_extra, interpret):
+    """Differentiable aligned-layout Pallas blend.
+
+    flat [N+1, D] per-gaussian packed attrs (sentinel zero row last);
+    binning_bundle = (aligned_gid, chunk_tile, chunk_rank, aligned_of_orig,
+    gauss_offsets, gauss_csum) — index data, non-differentiable. Returns
+    (out [T,OC,P2], iout [T,2,P2]). The VJP is entirely scatter-free:
+    per-slot grads → permutation gather back to expansion order → one cumsum
+    with per-gaussian segment-boundary differences."""
+    out, iout, _ = _blend_aligned_fwd_impl(flat, binning_bundle, num_tiles,
+                                           tile, grid_x, n_extra, interpret)
+    return out, iout
+
+
+def _blend_aligned_fwd_impl(flat, bundle, num_tiles, tile, grid_x, n_extra,
+                            interpret):
+    aligned_gid, chunk_tile, chunk_rank = bundle[0], bundle[1], bundle[2]
+    packed = flat[aligned_gid].T            # [D, ACAP]
+    f = blend_fwd_pallas_aligned(packed, chunk_tile, chunk_rank, num_tiles,
+                                 tile, grid_x, n_extra, interpret)
+    return f.out, f.iout, packed
+
+
+def _blend_aligned_diff_fwd(flat, bundle, num_tiles, tile, grid_x, n_extra,
+                            interpret):
+    out, iout, packed = _blend_aligned_fwd_impl(flat, bundle, num_tiles, tile,
+                                                grid_x, n_extra, interpret)
+    E = n_extra
+    saved = jnp.concatenate([out[:, 9:10], out[:, 10 + E:12 + E]], axis=1)
+    return (out, iout), (packed, bundle, saved, iout, flat.shape[0])
+
+
+def _blend_aligned_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
+                            res, cts):
+    packed, bundle, saved, iout, n1 = res
+    gout, _ = cts
+    (aligned_gid, chunk_tile, chunk_rank, aligned_of_orig,
+     gauss_offsets, gauss_csum) = bundle
+    d_packed = blend_bwd_pallas_aligned(packed, gout, saved, iout,
+                                        chunk_tile, chunk_rank, num_tiles,
+                                        tile, grid_x, n_extra, interpret)
+    d_aligned = d_packed.T                              # [ACAP, D]
+    d_orig = d_aligned[aligned_of_orig]                 # [pair_cap, D]
+    s = jnp.concatenate([jnp.zeros((1, d_orig.shape[1]), d_orig.dtype),
+                         jnp.cumsum(d_orig, axis=0)], axis=0)
+    pair_cap = d_orig.shape[0]
+    lo = jnp.clip(gauss_offsets, 0, pair_cap)
+    hi = jnp.clip(gauss_csum, 0, pair_cap)
+    d_gauss = s[hi] - s[lo]                             # [N, D]
+    d_flat = jnp.concatenate(
+        [d_gauss, jnp.zeros((1, d_gauss.shape[1]), d_gauss.dtype)], axis=0)
+    return d_flat, None
+
+
+blend_aligned_diff.defvjp(_blend_aligned_diff_fwd, _blend_aligned_diff_bwd)

@@ -64,14 +64,17 @@ class RasterizeConfig:
 
 def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
                       width, height, cfg):
-    """Differentiable Pallas blend → BlendOut (tracker unsupported here)."""
+    """Differentiable aligned-layout Pallas blend → BlendOut
+    (tracker unsupported here — track_contrib forces the XLA path)."""
     from .blend import BlendOut as _BlendOut
-    from .blend_pallas import blend_pallas_diff
+    from .blend_pallas import blend_aligned_diff
     from .rasterize_pallas import maps_from_pallas
 
     n = pre.T.shape[0]
     E = extras.shape[1] if extras is not None else 0
     grid_x = (width + cfg.tile - 1) // cfg.tile
+    grid_y = (height + cfg.tile - 1) // cfg.tile
+    num_tiles = grid_x * grid_y
     cols = [T_used.reshape(n, 9), pre.xy, pre.normal_view,
             jnp.reshape(opacities, (n, 1)), pre.color]
     if extras is not None:
@@ -79,10 +82,9 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
     flat = jnp.concatenate(cols, axis=1)
     flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)],
                            axis=0)
-    packed = jnp.transpose(flat[binning.tile_indices], (0, 2, 1))
     interp = jax.default_backend() == "cpu"  # tests exercise interpret mode
-    out, iout = blend_pallas_diff(packed, binning.tile_count.astype(jnp.int32),
-                                  cfg.tile, grid_x, E, interp)
+    out, iout = blend_aligned_diff(flat, tuple(binning.aligned), num_tiles,
+                                   cfg.tile, grid_x, E, interp)
     maps = maps_from_pallas(out, iout, width, height, cfg.tile, E)
     color = maps["color_nobg"] + maps["final_T"][..., None] * bg
     return _BlendOut(color=color, depth=maps["depth"],
@@ -105,12 +107,34 @@ class RasterizeOut(NamedTuple):
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cfg"))
 def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                     campos, bg, colors, shs, extras, t_offset, alive,
-                    width, height, sh_degree, cfg: RasterizeConfig):
+                    cached_binning, width, height, sh_degree,
+                    cfg: RasterizeConfig):
     pre = preprocess_gaussians(
         means3d, scales, rotations, w2v, full_proj, campos, width, height,
         color=colors, shs=shs, sh_degree=sh_degree, tile=cfg.tile, alive=alive)
-    binning = bin_gaussians(pre, width, height, cfg.pair_cap, cfg.tile_cap,
-                            tile=cfg.tile)
+    if cached_binning is not None:
+        # frozen-geometry fast path (semantic training): the per-camera tile
+        # lists are constant, so the expand+sort is skipped entirely.
+        # XLA layout caches (tile_indices, tile_count); pallas caches the
+        # 6-array aligned bundle.
+        from .binning import AlignedLayout, BinningOut
+        if len(cached_binning) == 2:
+            tile_indices, tile_count = cached_binning
+            binning = BinningOut(tile_indices=tile_indices,
+                                 tile_count=tile_count,
+                                 tile_start=None, sorted_gid=None,
+                                 total_pairs=jnp.int32(0),
+                                 n_dropped=jnp.int32(0), aligned=None)
+        else:
+            binning = BinningOut(tile_indices=None, tile_count=None,
+                                 tile_start=None, sorted_gid=None,
+                                 total_pairs=jnp.int32(0),
+                                 n_dropped=jnp.int32(0),
+                                 aligned=AlignedLayout(*cached_binning))
+    else:
+        layout = "aligned" if cfg.impl == "pallas" else "padded"
+        binning = bin_gaussians(pre, width, height, cfg.pair_cap,
+                                cfg.tile_cap, tile=cfg.tile, layout=layout)
 
     n = means3d.shape[0]
     T_used = pre.T if t_offset is None else pre.T + t_offset
@@ -150,7 +174,8 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
               shs: Optional[jnp.ndarray] = None, sh_degree: int = 0,
               extras: Optional[jnp.ndarray] = None,
               t_offset: Optional[jnp.ndarray] = None,
-              alive: Optional[jnp.ndarray] = None) -> RasterizeOut:
+              alive: Optional[jnp.ndarray] = None,
+              cached_binning=None) -> RasterizeOut:
     """Rasterize 2D Gaussian surfels.
 
     means3d [N,3]; scales [N,2] (activated); rotations [N,4] (w,x,y,z);
@@ -161,7 +186,8 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
     return _rasterize_impl(means3d, scales, rotations, opacities,
                            cam.w2v, cam.full_proj, cam.campos, bg,
                            colors, shs, extras, t_offset, alive,
-                           cfg.width, cfg.height, sh_degree, cfg)
+                           cached_binning, cfg.width, cfg.height, sh_degree,
+                           cfg)
 
 
 def densify_screen_grad(t_grad: jnp.ndarray, depth: jnp.ndarray,
@@ -172,3 +198,35 @@ def densify_screen_grad(t_grad: jnp.ndarray, depth: jnp.ndarray,
     gx = t_grad[:, 0, 2] * depth * 0.5 * width
     gy = t_grad[:, 1, 2] * depth * 0.5 * height
     return jnp.stack([gx, gy], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile", "pair_cap",
+                                   "tile_cap", "layout"))
+def _binning_cache_impl(xyz, scales, rotations, alive, w2v, full_proj, campos,
+                        width, height, tile, pair_cap, tile_cap, layout):
+    pre = preprocess_gaussians(xyz, scales, rotations, w2v, full_proj, campos,
+                               width, height, color=xyz * 0.0, tile=tile,
+                               alive=alive)
+    b = bin_gaussians(pre, width, height, pair_cap, tile_cap, tile=tile,
+                      layout=layout)
+    if layout == "aligned":
+        return tuple(b.aligned), b.tile_count, b.n_dropped
+    return ((b.tile_indices, b.tile_count.astype(jnp.int32)),
+            b.tile_count, b.n_dropped)
+
+
+def compute_binning_cache(params, cam: CameraMats, width: int, height: int,
+                          tile: int = 16, pair_cap: int = 0,
+                          tile_cap: int = 0, impl: str = "auto"):
+    """Precompute the frozen-geometry binning for one camera. Returns
+    (cache_tuple, tile_count, n_dropped); pass cache_tuple as
+    rasterize(..., cached_binning=...)."""
+    n = params.capacity
+    cfg = RasterizeConfig(width=width, height=height, tile=tile,
+                          pair_cap=pair_cap, tile_cap=tile_cap,
+                          impl=impl).resolved(n)
+    layout = "aligned" if cfg.impl == "pallas" else "padded"
+    return _binning_cache_impl(
+        params.xyz, params.scaling_activated(), params.rotation_normalized(),
+        params.alive, cam.w2v, cam.full_proj, cam.campos,
+        cfg.width, cfg.height, cfg.tile, cfg.pair_cap, cfg.tile_cap, layout)

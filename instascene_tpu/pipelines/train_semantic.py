@@ -33,8 +33,10 @@ from .train import CameraTensors, camera_tensors
 
 def render_features(params: gmod.GaussianParams, cam: CameraMats, bg,
                     cfg: RasterizeConfig, seg_feature: Optional[jnp.ndarray]
-                    = None):
-    """Render with the (possibly externally-supplied, for grad) seg feature."""
+                    = None, cached_binning=None):
+    """Render with the (possibly externally-supplied, for grad) seg feature.
+    `cached_binning=(tile_indices, tile_count)` skips the expand+sort — valid
+    because geometry is frozen during semantic training."""
     feat = seg_feature if seg_feature is not None else params.seg_feature
     if feat is not None:
         feat = feat / (jnp.linalg.norm(feat, axis=1, keepdims=True) + 1e-6)
@@ -43,7 +45,7 @@ def render_features(params: gmod.GaussianParams, cam: CameraMats, bg,
                      params.opacity_activated()[:, 0], cam, bg, cfg,
                      shs=params.features(),
                      sh_degree=params.active_sh_degree, extras=feat,
-                     alive=params.alive)
+                     alive=params.alive, cached_binning=cached_binning)
 
 
 @partial(jax.jit, static_argnames=("cfg", "batch", "max_labels",
@@ -56,12 +58,14 @@ def semantic_train_step(params, opt_state, key,
                         lam_sv, lam_mv, lam_3d,
                         cfg: RasterizeConfig, batch: int, max_labels: int,
                         consider_negative: bool, has_class_feat: bool,
-                        do_multiview: bool, n_mv: int):
+                        do_multiview: bool, n_mv: int,
+                        cached_binning=None, mv_cached_binning=None):
     cam = CameraMats(w2v, full_proj, campos)
     cf = class_feat if has_class_feat else None
 
     def loss_fn(seg_feature):
-        out = render_features(params, cam, bg, cfg, seg_feature)
+        out = render_features(params, cam, bg, cfg, seg_feature,
+                              cached_binning)
         featmap = out.blend.extra.reshape(-1, seg_feature.shape[1])
         total = 0.0
 
@@ -89,7 +93,9 @@ def semantic_train_step(params, opt_state, key,
         if do_multiview:
             def render_one(i):
                 mcam = CameraMats(mv_w2v[i], mv_full_proj[i], mv_campos[i])
-                o = render_features(params, mcam, bg, cfg, seg_feature)
+                cb = (None if mv_cached_binning is None else
+                      tuple(a[i] for a in mv_cached_binning))
+                o = render_features(params, mcam, bg, cfg, seg_feature, cb)
                 return o.blend.extra
             feats_mv = jnp.stack([render_one(i) for i in range(n_mv)])
             labels_mv = mv_sorted_segmaps.reshape(-1)
@@ -211,6 +217,32 @@ class SegSplatting:
         lab[:len(self.seg3d_labels)] = self.seg3d_labels
         self.seg3d_labels_padded = jnp.asarray(lab)
 
+    def _precompute_binning(self, tile: int = 16):
+        """Frozen geometry ⇒ per-camera tile lists are constant: compute the
+        expand+sort once per camera and cache the blend-ready layout on
+        device (aligned bundle for the Pallas path, padded indices for XLA).
+        Removes the sort from the contrastive hot loop entirely."""
+        from ..ops.rasterize import CameraMats, compute_binning_cache
+
+        # probe pass on the XLA layout: true per-tile counts are cheap to read
+        max_count = 0
+        for ct, cam in zip(self.cams, self.cam_objs):
+            _, tc, _ = compute_binning_cache(
+                self.params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
+                int(cam.width), int(cam.height), tile=tile, tile_cap=128,
+                impl="xla")
+            max_count = max(max_count, int(jnp.max(tc)))
+        k = max(128, (max_count + 127) // 128 * 128)
+        cache = []
+        for ct, cam in zip(self.cams, self.cam_objs):
+            cb, tc, nd = compute_binning_cache(
+                self.params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
+                int(cam.width), int(cam.height), tile=tile, tile_cap=k)
+            cache.append(cb)
+        self.binning_cache = cache
+        self.binning_k = k
+        return cache
+
     def _max_labels(self) -> int:
         m = 1
         for c in self.cam_objs:
@@ -230,6 +262,8 @@ class SegSplatting:
         opt_state = init_adam_state(self.params)
         lrs = semantic_lrs(opt)
         max_labels = self._max_labels()
+        if not hasattr(self, "binning_cache"):
+            self._precompute_binning()
         n_mv = opt.sample_mv_frames
         has_cf = self.class_feat is not None
         cf = (jnp.asarray(np.pad(self.class_feat,
@@ -254,6 +288,7 @@ class SegSplatting:
             sorted_segmap = (jnp.asarray(cam_obj.sorted_segmap)
                              if cam_obj.sorted_segmap is not None else zeros_map)
             do_mv = (opt.lambda_multiview_contras > 0 and it % 10 == 0)
+            cb = self.binning_cache[ci]
             if do_mv:
                 v0 = self.rng.randint(0, len(self.cams) - n_mv - 1)
                 mv = [self.cams[v] for v in range(v0, v0 + n_mv)]
@@ -264,11 +299,17 @@ class SegSplatting:
                     [jnp.asarray(self.cam_objs[v].sorted_segmap)
                      if self.cam_objs[v].sorted_segmap is not None
                      else zeros_map for v in range(v0, v0 + n_mv)])
+                mv_cb = tuple(
+                    jnp.stack([self.binning_cache[v][f]
+                               for v in range(v0, v0 + n_mv)])
+                    for f in range(len(self.binning_cache[0])))
             else:
                 mv_w2v = jnp.zeros((n_mv, 4, 4))
                 mv_fp = jnp.zeros((n_mv, 4, 4))
                 mv_cp = jnp.zeros((n_mv, 3))
                 mv_seg = jnp.zeros((n_mv,) + zeros_map.shape, jnp.int32)
+                mv_cb = tuple(jnp.zeros((n_mv,) + a.shape, jnp.int32)
+                              for a in cb)
 
             self.key, sub = jax.random.split(self.key)
             self.params, opt_state, loss = semantic_train_step(
@@ -279,7 +320,7 @@ class SegSplatting:
                 opt.lambda_singview_contras, opt.lambda_multiview_contras,
                 opt.lambda_3D_contras, cfg, int(opt.sample_batchsize),
                 max_labels, bool(opt.consider_negative_labels), has_cf,
-                do_mv, n_mv)
+                do_mv, n_mv, cached_binning=cb, mv_cached_binning=mv_cb)
             if it % 10 == 0:
                 bar.set_postfix({"ContraLoss": f"{float(loss):.3f}"})
             if it % save_every == 0 or it == iterations:

@@ -81,9 +81,11 @@ def contrastive_loss(features: jnp.ndarray,       # [B,D]
 def sample_valid_pixels(key, valid_flat: jnp.ndarray, batch: int):
     """Uniform sample (with replacement) of `batch` indices among True entries
     of valid_flat, jit-friendly (reference samples torch.randint over the valid
-    subset, train_semantic.py:126). Returns (idx [batch], any_valid bool)."""
-    n = valid_flat.shape[0]
-    vidx = jnp.where(valid_flat, size=n, fill_value=0)[0]
-    n_valid = jnp.sum(valid_flat.astype(jnp.int32))
+    subset, train_semantic.py:126). Scatter-free: the r-th valid element is
+    located by binary search on the validity prefix sum (TPU scatters are slow;
+    searchsorted is a cheap gather loop). Returns (idx [batch], any_valid)."""
+    c = jnp.cumsum(valid_flat.astype(jnp.int32))
+    n_valid = c[-1]
     r = jax.random.randint(key, (batch,), 0, jnp.maximum(n_valid, 1))
-    return vidx[r], n_valid > 0
+    idx = jnp.searchsorted(c, r, side="right").astype(jnp.int32)
+    return jnp.minimum(idx, valid_flat.shape[0] - 1), n_valid > 0

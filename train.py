@@ -50,6 +50,12 @@ def main(argv=None):
     save_cfg_args(scene.model_path, args)
 
     trainer = GeometryTrainer(dataset, opt, pipe, scene)
+    first_iter = 0
+    if args.start_checkpoint:
+        from instascene_tpu.pipelines.checkpoint import load_checkpoint
+        (trainer.params, trainer.opt_state, trainer.stats,
+         first_iter) = load_checkpoint(args.start_checkpoint)
+        print(f"Resumed from {args.start_checkpoint} at iter {first_iter}")
 
     gui = None
     if not args.disable_viewer:
@@ -59,7 +65,8 @@ def main(argv=None):
             gui = None
 
     from tqdm import tqdm
-    bar = tqdm(range(1, opt.iterations + 1), desc="Training progress")
+    bar = tqdm(range(first_iter + 1, opt.iterations + 1),
+               desc="Training progress")
     for it in bar:
         metrics = trainer.step(it)
         if it % 10 == 0:
