@@ -102,6 +102,7 @@ class RasterizeOut(NamedTuple):
     depth: jnp.ndarray        # [N] per-gaussian view z
     n_dropped: jnp.ndarray    # [] int32 binning overflow diagnostic
     T: jnp.ndarray            # [N,3,3] splat→pixel transforms (pre-offset)
+    total_pairs: jnp.ndarray  # [] int32 true (gaussian, tile) pair count
 
 
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cfg"))
@@ -146,7 +147,7 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                             visible=pre.valid & (pre.radius > 0),
                             depth=pre.depth,
                             n_dropped=binning.n_dropped,
-                            T=pre.T)
+                            T=pre.T, total_pairs=binning.total_pairs)
     packT = jnp.concatenate([T_used.reshape(n, 9),
                              jnp.zeros((1, 9), T_used.dtype)], axis=0)
     pad1 = lambda a: jnp.concatenate(
@@ -164,7 +165,7 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                         visible=pre.valid & (pre.radius > 0),
                         depth=pre.depth,
                         n_dropped=binning.n_dropped,
-                        T=pre.T)
+                        T=pre.T, total_pairs=binning.total_pairs)
 
 
 def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,

@@ -101,7 +101,8 @@ def train_step(params: GaussianParams, opt_state: AdamState,
         aux = {"ll1": ll1, "photo": photo, "dist": dist_loss,
                "normal": normal_loss, "radii": out.radii,
                "visible": out.visible, "depth": out.depth,
-               "n_dropped": out.n_dropped, "image": image}
+               "n_dropped": out.n_dropped, "image": image,
+               "total_pairs": out.total_pairs}
         return total, aux
 
     # allow_int: the params pytree carries the bool `alive` mask (grad ignored)
@@ -114,7 +115,8 @@ def train_step(params: GaussianParams, opt_state: AdamState,
                                          aux["radii"])
     params, opt_state = adam_step(params, grads, opt_state, lrs)
     metrics = {"loss": loss, "ll1": aux["ll1"], "dist": aux["dist"],
-               "normal": aux["normal"], "n_dropped": aux["n_dropped"]}
+               "normal": aux["normal"], "n_dropped": aux["n_dropped"],
+               "total_pairs": aux["total_pairs"]}
     return params, opt_state, stats, metrics
 
 
@@ -189,10 +191,32 @@ class GeometryTrainer:
         self.key = jax.random.PRNGKey(seed)
         self.rasterize_opts = rasterize_opts or {}
         self.ema = {"loss": 0.0, "dist": 0.0, "normal": 0.0}
+        self._pair_cap = 0
+        self._pair_hiwater = 0
 
     def _cfg(self, cam: Camera) -> RasterizeConfig:
+        opts = dict(self.rasterize_opts)
+        if self._pair_cap and "pair_cap" not in opts:
+            opts["pair_cap"] = self._pair_cap
         return RasterizeConfig(width=int(cam.width), height=int(cam.height),
-                               **self.rasterize_opts)
+                               **opts)
+
+    def _adapt_caps(self, metrics) -> None:
+        """Sticky high-water pair_cap: the expand+sort is O(pair_cap), so
+        shrink toward ~2x the observed pair count (one recompile) and double
+        on overflow."""
+        dropped = int(metrics["n_dropped"])
+        total = int(metrics["total_pairs"])
+        self._pair_hiwater = max(self._pair_hiwater, total)
+        if dropped > 0:
+            cur = self._pair_cap or max(64 * 1024, 4 * self.params.capacity)
+            self._pair_cap = cur * 2
+        elif self._pair_cap == 0:
+            cap = max(128 * 1024,
+                      1 << int(np.ceil(np.log2(max(total, 1) * 2))))
+            default = max(64 * 1024, 4 * self.params.capacity)
+            if cap < default:
+                self._pair_cap = cap
 
     def step(self, iteration: int, cam_idx: Optional[int] = None) -> dict:
         opt = self.opt
@@ -222,6 +246,9 @@ class GeometryTrainer:
             self.bg, lrs, opt.lambda_dssim, lam_dist, lam_normal, lam_prior,
             cfg, ct.tanfovx, ct.tanfovy, float(self.pipe.depth_ratio),
             has_prior)
+
+        if iteration % 50 == 1:
+            self._adapt_caps(metrics)
 
         # densification schedule (train.py:139-151)
         if iteration < opt.densify_until_iter:

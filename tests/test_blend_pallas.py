@@ -207,3 +207,51 @@ def test_rasterize_impl_pallas_matches_xla(rng):
         denom = np.abs(a).max() + 1e-8
         assert np.abs(a - b).max() / denom < 5e-3, (
             nm, np.abs(a - b).max(), denom)
+
+
+def test_cached_binning_matches_fresh(rng):
+    """rasterize() with a precomputed binning cache must equal the fresh path,
+    for both impls."""
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.models.gaussians import GaussianParams
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              compute_binning_cache,
+                                              rasterize)
+    from instascene_tpu.utils.general import inverse_sigmoid
+
+    pos = np.array([0.0, -3.5, 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="t", width=W, height=H)
+    n = 50
+    params = GaussianParams(
+        xyz=jnp.asarray(rng.normal(0, 0.5, (n, 3)).astype(np.float32)),
+        features_dc=jnp.asarray(rng.normal(0, 0.3, (n, 1, 3)
+                                           ).astype(np.float32)),
+        features_rest=jnp.zeros((n, 15, 3)),
+        scaling=jnp.asarray(rng.normal(-2.0, 0.3, (n, 2)).astype(np.float32)),
+        rotation=jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+        opacity=jnp.full((n, 1), float(inverse_sigmoid(0.7))),
+        alive=jnp.ones(n, bool),
+        seg_feature=jnp.asarray(rng.random((n, 4)).astype(np.float32)))
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    for impl in ("xla", "pallas"):
+        cfg = RasterizeConfig(width=W, height=H, pair_cap=8192, tile_cap=256,
+                              impl=impl)
+        cb, tc, nd = compute_binning_cache(params, cm, W, H, pair_cap=8192,
+                                           tile_cap=256, impl=impl)
+        kwargs = dict(shs=params.features(), sh_degree=0,
+                      extras=params.seg_feature_normed(), alive=params.alive)
+        fresh = rasterize(params.xyz, params.scaling_activated(),
+                          params.rotation_normalized(),
+                          params.opacity_activated()[:, 0], cm, jnp.zeros(3),
+                          cfg, **kwargs)
+        cached = rasterize(params.xyz, params.scaling_activated(),
+                           params.rotation_normalized(),
+                           params.opacity_activated()[:, 0], cm, jnp.zeros(3),
+                           cfg, cached_binning=cb, **kwargs)
+        assert np.allclose(np.asarray(fresh.blend.color),
+                           np.asarray(cached.blend.color), atol=1e-6), impl
+        assert np.allclose(np.asarray(fresh.blend.extra),
+                           np.asarray(cached.blend.extra), atol=1e-6), impl
