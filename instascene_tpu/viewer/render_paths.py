@@ -113,7 +113,12 @@ def render_video(gaussians, pipe, cams: List[MiniCam], out_path: str,
     import imageio
     from ..render import render
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    writer = imageio.get_writer(out_path, fps=fps)
+    try:
+        writer = imageio.get_writer(out_path, fps=fps)
+    except (ValueError, ImportError):
+        # no ffmpeg plugin in this environment → fall back to GIF
+        out_path = os.path.splitext(out_path)[0] + ".gif"
+        writer = imageio.get_writer(out_path, duration=1000.0 / fps)
     for cam in cams:
         pkg = render(cam, gaussians, pipe, np.asarray(bg, np.float32))
         if mode == "render":
