@@ -255,3 +255,51 @@ def test_cached_binning_matches_fresh(rng):
                            np.asarray(cached.blend.color), atol=1e-6), impl
         assert np.allclose(np.asarray(fresh.blend.extra),
                            np.asarray(cached.blend.extra), atol=1e-6), impl
+
+
+def test_train_step_impl_parity(rng):
+    """One full geometry train_step with impl='pallas' (interpret) must match
+    impl='xla': same loss, same updated params."""
+    from instascene_tpu.config import OptimizationParams
+    from instascene_tpu.models.densify import init_stats
+    from instascene_tpu.models.gaussians import create_from_pcd
+    from instascene_tpu.models.optimizer import geometry_lrs, init_adam_state
+    from instascene_tpu.ops.rasterize import RasterizeConfig
+    from instascene_tpu.pipelines.train import camera_tensors, train_step
+    from instascene_tpu.cameras import Camera
+
+    pos = np.array([0.0, -3.5, 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="t", width=W, height=H,
+                 image=rng.random((H, W, 3)).astype(np.float32))
+    ct = camera_tensors(cam)
+    pts = rng.normal(0, 0.5, (24, 3)).astype(np.float32)
+    params = create_from_pcd(pts, rng.random((24, 3)).astype(np.float32),
+                             rng.random(24).astype(np.float32) * 0.05 + 0.01,
+                             capacity=32)
+    opt = OptimizationParams()
+    lrs = geometry_lrs(opt, 1.0, 1e-3)
+    results = {}
+    for impl in ("xla", "pallas"):
+        cfg = RasterizeConfig(width=W, height=H, pair_cap=8192, tile_cap=256,
+                              chunk=16, impl=impl)
+        p, o, s, m = train_step(
+            params, init_adam_state(params), init_stats(32),
+            ct.w2v, ct.full_proj, ct.campos, ct.c2w_rot, ct.gt_image,
+            jnp.zeros(1), jnp.zeros(1), jnp.zeros(3), lrs,
+            0.2, 0.01, 0.05, 0.0, cfg, ct.tanfovx, ct.tanfovy, 1.0, False)
+        results[impl] = (p, s, m)
+    lx = float(results["xla"][2]["loss"])
+    lp = float(results["pallas"][2]["loss"])
+    assert np.isclose(lx, lp, rtol=1e-4), (lx, lp)
+    for f in ("xyz", "scaling", "rotation", "opacity", "features_dc"):
+        a = np.asarray(getattr(results["xla"][0], f))
+        b = np.asarray(getattr(results["pallas"][0], f))
+        # Adam normalizes by grad magnitude — tiny grad diffs can flip the
+        # normalized update only where grads are ~0, so compare params coarsely
+        assert np.abs(a - b).max() < 5e-3, (f, np.abs(a - b).max())
+    # densify stats (screen-grad hack) must agree too
+    sa = np.asarray(results["xla"][1].xyz_gradient_accum)
+    sb = np.asarray(results["pallas"][1].xyz_gradient_accum)
+    assert np.abs(sa - sb).max() / (np.abs(sa).max() + 1e-9) < 2e-3
