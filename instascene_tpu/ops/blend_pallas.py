@@ -45,23 +45,28 @@ _EXT = 18
 CHUNK = 128  # gaussians per grid step (sublane-friendly, lane-aligned DMA)
 
 
-def _tril(c: int, dtype=jnp.float32, strict: bool = True):
-    r = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
-    return ((col < r) if strict else (col <= r)).astype(dtype)
+def _cumsum_incl(x):
+    """Inclusive prefix sum along axis 0 (sublanes) via log-step Hillis-Steele
+    shifted adds. A triangular matmul would cost 2·C²·P2 flops per chunk
+    (x6 for full-precision f32 MXU passes) — ~100x this formulation; prefix
+    sums are the inner loop of the blend, so this dominates kernel cost."""
+    c = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    y = x
+    shift = 1
+    while shift < c:
+        rolled = pltpu.roll(y, shift, axis=0)     # circular shift down
+        y = y + jnp.where(row >= shift, rolled, 0.0)
+        shift *= 2
+    return y
 
 
 def _cumsum_excl(x):
-    """Exclusive prefix sum along axis 0 via strict-lower-triangular matmul."""
-    c = x.shape[0]
-    return jnp.dot(_tril(c, x.dtype, True), x,
-                   preferred_element_type=jnp.float32)
-
-
-def _cumsum_incl(x):
-    c = x.shape[0]
-    return jnp.dot(_tril(c, x.dtype, False), x,
-                   preferred_element_type=jnp.float32)
+    """Exclusive prefix sum along axis 0: inclusive shifted down one row."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    incl = _cumsum_incl(x)
+    rolled = pltpu.roll(incl, 1, axis=0)
+    return jnp.where(row >= 1, rolled, 0.0)
 
 
 def _pix_coords(tile: int, grid_x: int):
