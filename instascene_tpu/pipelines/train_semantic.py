@@ -304,12 +304,14 @@ class SegSplatting:
                                for v in range(v0, v0 + n_mv)])
                     for f in range(len(self.binning_cache[0])))
             else:
-                mv_w2v = jnp.zeros((n_mv, 4, 4))
-                mv_fp = jnp.zeros((n_mv, 4, 4))
-                mv_cp = jnp.zeros((n_mv, 3))
-                mv_seg = jnp.zeros((n_mv,) + zeros_map.shape, jnp.int32)
-                mv_cb = tuple(jnp.zeros((n_mv,) + a.shape, jnp.int32)
-                              for a in cb)
+                if not hasattr(self, "_mv_dummy"):
+                    self._mv_dummy = (
+                        jnp.zeros((n_mv, 4, 4)), jnp.zeros((n_mv, 4, 4)),
+                        jnp.zeros((n_mv, 3)),
+                        jnp.zeros((n_mv,) + zeros_map.shape, jnp.int32),
+                        tuple(jnp.zeros((n_mv,) + a.shape, jnp.int32)
+                              for a in cb))
+                mv_w2v, mv_fp, mv_cp, mv_seg, mv_cb = self._mv_dummy
 
             self.key, sub = jax.random.split(self.key)
             self.params, opt_state, loss = semantic_train_step(
