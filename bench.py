@@ -103,11 +103,11 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
 
     # compile
     p, s, k, loss = one(0, params, opt_state, key)
-    loss.block_until_ready()
+    float(loss)  # host fetch: block_until_ready under-fences on this runtime
     t0 = time.perf_counter()
     for i in range(iters):
         p, s, k, loss = one(i, p, s, k)
-    loss.block_until_ready()
+    float(loss)
     dt = time.perf_counter() - t0
     return iters / dt
 
@@ -142,11 +142,11 @@ def bench_geometry(params, make_cam, width=976, height=728, iters=10):
                           1.0, False)
 
     p, o, s, m = one(0, params, opt_state, stats)
-    m["loss"].block_until_ready()
+    float(m["loss"])
     t0 = time.perf_counter()
     for i in range(iters):
         p, o, s, m = one(i, p, o, s)
-    m["loss"].block_until_ready()
+    float(m["loss"])
     dt = time.perf_counter() - t0
     return iters / dt
 
@@ -162,19 +162,21 @@ def bench_render_fps(params, make_cam, width=1920, height=1080, iters=20):
                     jnp.asarray(cam.camera_center))
     cfg = RasterizeConfig(width=width, height=height)
 
+    # chain iterations (identical re-dispatches get deduped on this runtime)
     @jax.jit
-    def fwd(p):
-        return rasterize(p.xyz, p.scaling_activated(),
-                         p.rotation_normalized(), p.opacity_activated()[:, 0],
-                         cm, jnp.zeros(3), cfg, shs=p.features(),
-                         sh_degree=3).blend.color
-
-    img = fwd(params)
-    img.block_until_ready()
+    def step(p_feat):
+        img = rasterize(params.xyz, params.scaling_activated(),
+                        params.rotation_normalized(),
+                        params.opacity_activated()[:, 0],
+                        cm, jnp.zeros(3), cfg, shs=params.features(),
+                        sh_degree=3).blend.color
+        return p_feat + 1e-20 * img[0, 0, 0]
+    x = step(jnp.zeros(()))
+    float(x)
     t0 = time.perf_counter()
     for _ in range(iters):
-        img = fwd(params)
-    img.block_until_ready()
+        x = step(x)
+    float(x)
     return iters / (time.perf_counter() - t0)
 
 
