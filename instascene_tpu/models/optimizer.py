@@ -59,9 +59,12 @@ def semantic_lrs(opt) -> Dict[str, float]:
 
 def adam_step(params: GaussianParams, grads: GaussianParams, state: AdamState,
               lrs: Dict[str, jnp.ndarray], b1: float = 0.9, b2: float = 0.999,
-              eps: float = 1e-15):
+              eps: float = 1e-15, frozen_fields: tuple = ()):
     """One Adam step. Updates are masked by `alive` so dead capacity slots
-    never drift. Returns (new_params, new_state)."""
+    never drift. `frozen_fields` (trace-time static) skips moment/param
+    traffic entirely for fields that never train in this mode — e.g. geometry
+    during semantic training (~500MB/step saved at 300k gaussians).
+    Returns (new_params, new_state)."""
     count = state.count + 1
     c1 = 1.0 - b1 ** count.astype(jnp.float32)
     c2 = 1.0 - b2 ** count.astype(jnp.float32)
@@ -70,6 +73,8 @@ def adam_step(params: GaussianParams, grads: GaussianParams, state: AdamState,
     new_m = {}
     new_v = {}
     for f in TRAINABLE_FIELDS:
+        if f in frozen_fields:
+            continue
         p = getattr(params, f)
         if p is None:
             continue

@@ -119,9 +119,11 @@ def semantic_train_step(params, opt_state, key,
         return total
 
     loss, g = jax.value_and_grad(loss_fn)(params.seg_feature)
-    grads = jax.tree.map(jnp.zeros_like, params)
-    grads = grads.replace(seg_feature=g, alive=params.alive)
-    new_params, new_opt = adam_step(params, grads, opt_state, lrs)
+    grads = params.replace(seg_feature=g)  # only seg_feature is read below
+    new_params, new_opt = adam_step(
+        params, grads, opt_state, lrs,
+        frozen_fields=("xyz", "features_dc", "features_rest", "scaling",
+                       "rotation", "opacity"))
     return new_params, new_opt, loss
 
 
