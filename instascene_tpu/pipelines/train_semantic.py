@@ -226,20 +226,33 @@ class SegSplatting:
         Removes the sort from the contrastive hot loop entirely."""
         from ..ops.rasterize import CameraMats, compute_binning_cache
 
-        # probe pass on the XLA layout: true per-tile counts are cheap to read
+        # probe pass: read per-tile counts + true pair totals (XLA layout is
+        # the cheap probe), then rebuild with a snug power-of-two pair_cap —
+        # pack traffic in the hot loop scales with the aligned capacity
         max_count = 0
+        max_pairs = 0
         for ct, cam in zip(self.cams, self.cam_objs):
             _, tc, _ = compute_binning_cache(
                 self.params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
                 int(cam.width), int(cam.height), tile=tile, tile_cap=128,
                 impl="xla")
             max_count = max(max_count, int(jnp.max(tc)))
+            max_pairs = max(max_pairs, int(jnp.sum(tc)))
         k = max(128, (max_count + 127) // 128 * 128)
+        pair_cap = max(128 * 1024,
+                       1 << int(np.ceil(np.log2(max(max_pairs, 1) * 1.3))))
         cache = []
         for ct, cam in zip(self.cams, self.cam_objs):
             cb, tc, nd = compute_binning_cache(
                 self.params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
-                int(cam.width), int(cam.height), tile=tile, tile_cap=k)
+                int(cam.width), int(cam.height), tile=tile, tile_cap=k,
+                pair_cap=pair_cap)
+            if int(nd) > 0:  # safety: grow once on overflow
+                pair_cap *= 2
+                cb, tc, nd = compute_binning_cache(
+                    self.params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
+                    int(cam.width), int(cam.height), tile=tile, tile_cap=k,
+                    pair_cap=pair_cap)
             cache.append(cb)
         self.binning_cache = cache
         self.binning_k = k
