@@ -72,3 +72,16 @@ def photometric_loss(image, gt_image, lambda_dssim: float):
     """(1-λ)·L1 + λ·(1-SSIM)  (train.py:76-77)."""
     ll1 = l1_loss(image, gt_image)
     return (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(image, gt_image)), ll1
+
+
+def smooth_loss(disp, img):
+    """Edge-aware disparity smoothness (reference loss_utils.py:35-42).
+    disp [H,W,1] or [H,W]; img [H,W,3] channels-last."""
+    if disp.ndim == 2:
+        disp = disp[..., None]
+    d = disp[..., 0]
+    gdx = jnp.abs(d[1:-1, :-2] + d[1:-1, 2:] - 2 * d[1:-1, 1:-1])
+    gdy = jnp.abs(d[:-2, 1:-1] + d[2:, 1:-1] - 2 * d[1:-1, 1:-1])
+    gix = jnp.mean(jnp.abs(img[1:-1, :-2] - img[1:-1, 2:]), axis=-1) * 0.5
+    giy = jnp.mean(jnp.abs(img[:-2, 1:-1] - img[2:, 1:-1]), axis=-1) * 0.5
+    return jnp.mean(gdx * jnp.exp(-gix)) + jnp.mean(gdy * jnp.exp(-giy))
