@@ -72,7 +72,7 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
     opt = OptimizationParams()
     opt_state = init_adam_state(params)
     lrs = semantic_lrs(opt)
-    cfg = RasterizeConfig(width=width, height=height)
+    cfg = RasterizeConfig(width=width, height=height, bwd_extras_only=True)
     key = jax.random.PRNGKey(0)
     n_mv = 5
     zeros_mv = (jnp.zeros((n_mv, 4, 4)), jnp.zeros((n_mv, 4, 4)),

@@ -155,8 +155,10 @@ def save_ply(p: GaussianParams, path: str, crop_mask: Optional[np.ndarray] = Non
     # f_dc/f_rest flattened channel-major: transpose(1,2).flatten == [3*R] with
     # coefficient-fastest? reference stores (N,1,3)->(N,3) and (N,R,3)->(N,3R)
     # via transpose(1,2) => channel index slow, coeff fast.
-    f_dc = np.asarray(pc.features_dc)[keep].transpose(0, 2, 1).reshape(n, -1)
-    f_rest = np.asarray(pc.features_rest)[keep].transpose(0, 2, 1).reshape(n, -1)
+    fd = np.asarray(pc.features_dc)[keep].transpose(0, 2, 1)
+    f_dc = fd.reshape(n, fd.shape[1] * fd.shape[2])
+    fr = np.asarray(pc.features_rest)[keep].transpose(0, 2, 1)
+    f_rest = fr.reshape(n, fr.shape[1] * fr.shape[2])
     opac = np.asarray(pc.opacity)[keep]
     scale = np.asarray(pc.scaling)[keep]
     if export_as_3dgs:

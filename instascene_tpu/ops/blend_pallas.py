@@ -623,7 +623,7 @@ def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
 
 def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
                         iout_ref, dout_ref, Tst, Ss, *, tile, grid_x,
-                        num_tiles, n_extra, n_chunks):
+                        num_tiles, n_extra, n_chunks, extras_only=False):
     i = pl.program_id(0)
     j = n_chunks - 1 - i
     E = n_extra
@@ -672,6 +672,17 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         T_entry = T_exit * jnp.exp(-cum_in[-1:, :])
         T_i = T_entry * jnp.exp(cum_in - log1c)
         w = ac * T_i
+
+        if extras_only:
+            # feature-lifting fast path: only d(extras) = w·ĝ_ext is needed;
+            # the whole alpha/depth/geometry chain is skipped (callers slice
+            # only the feature columns of d_flat)
+            gext = gout_ref[0, 10:10 + E]
+            dext = jnp.dot(w, gext.T, preferred_element_type=jnp.float32)
+            dout_ref[...] = jnp.zeros_like(dout_ref)
+            dout_ref[_EXT:_EXT + E, :] = dext.T
+            Tst[0:1] = T_entry
+            return
 
         gcol = gout_ref[0, 0:3]
         gD = gout_ref[0, 3:4]
@@ -764,7 +775,8 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
 def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
                              chunk_rank, num_tiles: int, tile: int,
                              grid_x: int, n_extra: int,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             extras_only: bool = False) -> jnp.ndarray:
     D, acap = packed.shape
     n_chunks = acap // CHUNK
     P2 = tile * tile
@@ -788,7 +800,7 @@ def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
     )
     kernel = functools.partial(_bwd_kernel_aligned, tile=tile, grid_x=grid_x,
                                num_tiles=num_tiles, n_extra=n_extra,
-                               n_chunks=n_chunks)
+                               n_chunks=n_chunks, extras_only=extras_only)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -797,9 +809,9 @@ def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
     )(chunk_tile, chunk_rank, packed, gout, saved, iout)[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
 def blend_aligned_diff(flat, binning_bundle, num_tiles, tile, grid_x,
-                       n_extra, interpret):
+                       n_extra, interpret, extras_only=False):
     """Differentiable aligned-layout Pallas blend.
 
     flat [N+1, D] per-gaussian packed attrs (sentinel zero row last);
@@ -823,7 +835,7 @@ def _blend_aligned_fwd_impl(flat, bundle, num_tiles, tile, grid_x, n_extra,
 
 
 def _blend_aligned_diff_fwd(flat, bundle, num_tiles, tile, grid_x, n_extra,
-                            interpret):
+                            interpret, extras_only=False):
     out, iout, packed = _blend_aligned_fwd_impl(flat, bundle, num_tiles, tile,
                                                 grid_x, n_extra, interpret)
     E = n_extra
@@ -832,14 +844,15 @@ def _blend_aligned_diff_fwd(flat, bundle, num_tiles, tile, grid_x, n_extra,
 
 
 def _blend_aligned_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
-                            res, cts):
+                            extras_only, res, cts):
     packed, bundle, saved, iout, n1 = res
     gout, _ = cts
     (aligned_gid, chunk_tile, chunk_rank, aligned_of_orig,
      gauss_offsets, gauss_csum) = bundle
     d_packed = blend_bwd_pallas_aligned(packed, gout, saved, iout,
                                         chunk_tile, chunk_rank, num_tiles,
-                                        tile, grid_x, n_extra, interpret)
+                                        tile, grid_x, n_extra, interpret,
+                                        extras_only=extras_only)
     d_aligned = d_packed.T                              # [ACAP, D]
     d_orig = d_aligned[aligned_of_orig]                 # [pair_cap, D]
     s = jnp.concatenate([jnp.zeros((1, d_orig.shape[1]), d_orig.dtype),

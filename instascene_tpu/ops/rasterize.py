@@ -42,6 +42,10 @@ class RasterizeConfig:
     tile_cap: int = 0        # 0 → auto: min(pair_cap, 4096)
     track_contrib: bool = False
     impl: str = "auto"       # 'auto' | 'xla' | 'pallas'
+    # feature-lifting fast path: the Pallas backward computes only the extra-
+    # channel gradients (callers must differentiate extras ONLY — geometry
+    # grads silently come back zero). Used by semantic training.
+    bwd_extras_only: bool = False
 
     def resolved(self, n: int) -> "RasterizeConfig":
         # auto caps are deliberately tight — the sort is O(pair_cap); callers
@@ -59,7 +63,8 @@ class RasterizeConfig:
             chunk = PALLAS_CHUNK
         tile_cap = ((tile_cap + chunk - 1) // chunk) * chunk
         return RasterizeConfig(self.width, self.height, self.tile, chunk,
-                               pair_cap, tile_cap, self.track_contrib, impl)
+                               pair_cap, tile_cap, self.track_contrib, impl,
+                               self.bwd_extras_only)
 
 
 def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
@@ -84,7 +89,8 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
                            axis=0)
     interp = jax.default_backend() == "cpu"  # tests exercise interpret mode
     out, iout = blend_aligned_diff(flat, tuple(binning.aligned), num_tiles,
-                                   cfg.tile, grid_x, E, interp)
+                                   cfg.tile, grid_x, E, interp,
+                                   cfg.bwd_extras_only)
     maps = maps_from_pallas(out, iout, width, height, cfg.tile, E)
     color = maps["color_nobg"] + maps["final_T"][..., None] * bg
     return _BlendOut(color=color, depth=maps["depth"],

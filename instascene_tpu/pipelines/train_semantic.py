@@ -297,7 +297,8 @@ class SegSplatting:
             ct = self.cams[ci]
             cam_obj = self.cam_objs[ci]
             cfg = RasterizeConfig(width=int(cam_obj.width),
-                                  height=int(cam_obj.height))
+                                  height=int(cam_obj.height),
+                                  bwd_extras_only=True)
             segmap = (jnp.asarray(cam_obj.segmap)
                       if cam_obj.segmap is not None else zeros_map)
             sorted_segmap = (jnp.asarray(cam_obj.sorted_segmap)

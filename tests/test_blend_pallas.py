@@ -303,3 +303,40 @@ def test_train_step_impl_parity(rng):
     sa = np.asarray(results["xla"][1].xyz_gradient_accum)
     sb = np.asarray(results["pallas"][1].xyz_gradient_accum)
     assert np.abs(sa - sb).max() / (np.abs(sa).max() + 1e-9) < 2e-3
+
+
+def test_bwd_extras_only_mode(rng):
+    """bwd_extras_only: feature grads must match the full path; geometry
+    grads silently zero (documented contract)."""
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              rasterize)
+    pos = np.array([0.0, -3.5, 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="t", width=W, height=H)
+    n = 50
+    xyz = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    scales = np.exp(rng.normal(-2.0, 0.3, (n, 2))).astype(np.float32)
+    rots = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, n).astype(np.float32)
+    color = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    extra = rng.normal(size=(n, 8)).astype(np.float32)
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+
+    def loss(extra_, flag):
+        cfg = RasterizeConfig(width=W, height=H, pair_cap=8192, tile_cap=256,
+                              impl="pallas", bwd_extras_only=flag)
+        out = rasterize(jnp.asarray(xyz), jnp.asarray(scales),
+                        jnp.asarray(rots), jnp.asarray(opac), cm,
+                        jnp.zeros(3), cfg, colors=jnp.asarray(color),
+                        extras=extra_)
+        return jnp.sum(out.blend.extra ** 2)
+
+    e = jnp.asarray(extra)
+    g_full = jax.grad(lambda x: loss(x, False))(e)
+    g_fast = jax.grad(lambda x: loss(x, True))(e)
+    a, b = np.asarray(g_full), np.asarray(g_fast)
+    assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 1e-4
+    assert np.abs(a).max() > 0
