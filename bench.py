@@ -22,6 +22,11 @@ import numpy as np
 
 BASELINE_SEMANTIC_ITS = 10_000 / (20 * 60)  # 8.33 it/s on A100
 
+# The axon runtime executes the first ~5 invocations of a freshly-compiled
+# program ~20x slower than steady state (server-side tiered optimization);
+# every bench burns this many fenced iterations before its timed window.
+WARMUP_ITERS = int(os.environ.get("BENCH_WARMUP", 12))
+
 
 def make_bench_scene(n=300_000, seed=0):
     import jax.numpy as jnp
@@ -101,9 +106,14 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
             cached_binning=cache[i % len(cams)], mv_cached_binning=mv_cb)
         return p, s, k, loss
 
-    # compile
+    # compile + warm-up: the first ~5 executions of a fresh program run ~20x
+    # slower on this runtime (tiered optimization server-side) — burn them
+    # before opening the timed window.
     p, s, k, loss = one(0, params, opt_state, key)
     float(loss)  # host fetch: block_until_ready under-fences on this runtime
+    for i in range(WARMUP_ITERS):
+        p, s, k, loss = one(i, p, s, k)
+    float(loss)
     t0 = time.perf_counter()
     for i in range(iters):
         p, s, k, loss = one(i, p, s, k)
@@ -143,6 +153,9 @@ def bench_geometry(params, make_cam, width=976, height=728, iters=10):
 
     p, o, s, m = one(0, params, opt_state, stats)
     float(m["loss"])
+    for i in range(WARMUP_ITERS):  # burn the slow tiered-exec phase
+        p, o, s, m = one(i, p, o, s)
+    float(m["loss"])
     t0 = time.perf_counter()
     for i in range(iters):
         p, o, s, m = one(i, p, o, s)
@@ -172,6 +185,9 @@ def bench_render_fps(params, make_cam, width=1920, height=1080, iters=20):
                         sh_degree=3).blend.color
         return p_feat + 1e-20 * img[0, 0, 0]
     x = step(jnp.zeros(()))
+    float(x)
+    for _ in range(WARMUP_ITERS):  # burn the slow tiered-exec phase
+        x = step(x)
     float(x)
     t0 = time.perf_counter()
     for _ in range(iters):
