@@ -91,12 +91,25 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     slot_valid = jnp.arange(pair_cap, dtype=jnp.int32) < jnp.minimum(total, pair_cap)
     gid = jnp.where(slot_valid, gid, 0)
 
-    # decode which tile of the gaussian's rect this pair covers
-    rank = jnp.arange(pair_cap, dtype=jnp.int32) - offsets[gid]
-    rw = jnp.maximum(rect_max[gid, 0] - rect_min[gid, 0], 1)
+    # decode which tile of the gaussian's rect this pair covers. TPU gathers
+    # cost ~per ROW, not per element — pack all per-gaussian values needed in
+    # pair space (offset, rect, depth) into one [N,5] matrix and gather once
+    # instead of five times. All values are integers < 2^24 or f32, exact in
+    # f32 lanes.
+    gtab = jnp.stack([offsets.astype(jnp.float32),
+                      jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1
+                                  ).astype(jnp.float32),
+                      rect_min[:, 0].astype(jnp.float32),
+                      rect_min[:, 1].astype(jnp.float32),
+                      depth], axis=1)                            # [N, 5]
+    prow = gtab[gid]                                             # [pair_cap,5]
+    rank = jnp.arange(pair_cap, dtype=jnp.int32) - prow[:, 0].astype(jnp.int32)
+    rw = prow[:, 1].astype(jnp.int32)
+    rmin_x = prow[:, 2].astype(jnp.int32)
+    rmin_y = prow[:, 3].astype(jnp.int32)
     dy = rank // rw
     dx = rank - dy * rw
-    tile_id = (rect_min[gid, 1] + dy) * grid_x + (rect_min[gid, 0] + dx)
+    tile_id = (rmin_y + dy) * grid_x + (rmin_x + dx)
     tile_id = jnp.where(slot_valid, tile_id, num_tiles)          # sentinel tile
 
     # single fused int32 sort key: tile_id in the high bits, depth quantized
@@ -109,7 +122,7 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     # after the cast so the deepest gaussian cannot round up into the next
     # tile's key range
     depth_bits = min(22, 31 - tile_bits)
-    d = depth[gid]
+    d = prow[:, 4]  # depth[gid], from the packed per-gaussian gather
     dmin = jnp.min(jnp.where(slot_valid, d, jnp.inf))
     dmax = jnp.max(jnp.where(slot_valid, d, -jnp.inf))
     dq = jnp.clip((d - dmin) / jnp.maximum(dmax - dmin, 1e-12), 0.0, 1.0)
@@ -156,28 +169,33 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
                               ).astype(jnp.int32) - 1
         chunk_tile = jnp.where(qs < total_chunks, ct, num_tiles)
         chunk_rank = qs - astart_chunks[jnp.clip(ct, 0, num_tiles - 1)]
-        # gaussian id per aligned slot
-        slots = jnp.arange(acap, dtype=jnp.int32)
-        st = chunk_tile[slots // ALIGN]
-        st_c = jnp.clip(st, 0, num_tiles - 1)
-        k_in_tile = slots - astart[st_c]
-        src = tile_start[st_c] + k_in_tile
-        valid_slot = (st < num_tiles) & (k_in_tile < tile_count[st_c]) \
-            & (src < pair_cap)
-        aligned_gid = jnp.where(valid_slot,
-                                sorted_gid[jnp.clip(src, 0, pair_cap - 1)], n)
-        # aligned slot of each original pair (for the scatter-free backward):
-        # invert the sort permutation with ONE int scatter (index data only)
-        inv_perm = jnp.zeros((pair_cap,), jnp.int32).at[sort_perm].set(
-            arange_pairs, mode="drop")
-        sp = inv_perm                                    # sorted position of j
-        t_of = jnp.clip(sorted_tile[jnp.clip(sp, 0, pair_cap - 1)],
-                        0, num_tiles - 1)
-        a_of = astart[t_of] + (sp - tile_start[t_of])
-        pair_ok = slot_valid & (sorted_tile[jnp.clip(sp, 0, pair_cap - 1)]
-                                < num_tiles)
-        aligned_of_orig = jnp.where(pair_ok,
-                                    jnp.clip(a_of, 0, acap - 1), acap - 1)
+        # gaussian id per aligned slot. All per-slot index math is expressed
+        # per-chunk + per-lane (broadcast, no [acap] gathers): within chunk q
+        # of tile t, slot lane l sits at k_in_tile = chunk_rank[q]*ALIGN + l.
+        lane = jnp.arange(ALIGN, dtype=jnp.int32)
+        ct_c = jnp.clip(chunk_tile, 0, num_tiles - 1)
+        k_in_tile = chunk_rank[:, None] * ALIGN + lane[None, :]
+        src = tile_start[ct_c][:, None] + k_in_tile        # [n_chunks, ALIGN]
+        valid_slot = ((chunk_tile < num_tiles)[:, None]
+                      & (k_in_tile < tile_count[ct_c][:, None])
+                      & (src < pair_cap))
+        aligned_gid = jnp.where(
+            valid_slot, sorted_gid[jnp.clip(src, 0, pair_cap - 1)], n
+        ).reshape(acap)
+        # aligned slot of each original pair (for the scatter-free backward).
+        # Sorted position j of tile t maps to aligned slot
+        # astart[t] + (j - tile_start[t]); scatter that through the sort
+        # permutation in ONE pass (replaces the inverse-permutation scatter
+        # plus three [pair_cap] gathers).
+        delta = astart - tile_start                        # [num_tiles]
+        st_ok = sorted_tile < num_tiles
+        a_of_sorted = arange_pairs + delta[jnp.clip(sorted_tile, 0,
+                                                    num_tiles - 1)]
+        a_of_sorted = jnp.where(st_ok, jnp.clip(a_of_sorted, 0, acap - 1),
+                                acap - 1)
+        aligned_of_orig = jnp.full((pair_cap,), acap - 1, jnp.int32
+                                   ).at[sort_perm].set(a_of_sorted,
+                                                       mode="drop")
         aligned = AlignedLayout(
             aligned_gid=aligned_gid.astype(jnp.int32),
             chunk_tile=chunk_tile.astype(jnp.int32),
