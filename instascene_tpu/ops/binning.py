@@ -50,8 +50,8 @@ class AlignedLayout(NamedTuple):
     gauss_csum: jnp.ndarray
 
 
-def aligned_cap(pair_cap: int, num_tiles: int) -> int:
-    return pair_cap + num_tiles * ALIGN
+def aligned_cap(pair_cap: int, num_tiles: int, align: int = ALIGN) -> int:
+    return pair_cap + num_tiles * align
 
 
 class BinningOut(NamedTuple):
@@ -66,8 +66,9 @@ class BinningOut(NamedTuple):
 
 def bin_gaussians(pre: PreprocessOut, width: int, height: int,
                   pair_cap: int, tile_cap: int, tile: int = 16,
-                  layout: str = "padded") -> BinningOut:
-    """layout: 'padded' | 'aligned' | 'both'."""
+                  layout: str = "padded", align: int = ALIGN) -> BinningOut:
+    """layout: 'padded' | 'aligned' | 'both'; `align` is the aligned-layout
+    chunk size (must equal the Pallas kernels' chunk)."""
     n = pre.depth.shape[0]
     grid_x = (width + tile - 1) // tile
     grid_y = (height + tile - 1) // tile
@@ -155,15 +156,15 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
 
     aligned = None
     if layout in ("aligned", "both"):
-        acap = aligned_cap(pair_cap, num_tiles)
-        n_chunks = acap // ALIGN
+        acap = aligned_cap(pair_cap, num_tiles, align)
+        n_chunks = acap // align
         # per-tile aligned segment starts (CHUNK multiples)
-        padded_counts = ((tile_count + ALIGN - 1) // ALIGN) * ALIGN
+        padded_counts = ((tile_count + align - 1) // align) * align
         astart = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                   jnp.cumsum(padded_counts)[:-1]
                                   .astype(jnp.int32)])
-        astart_chunks = astart // ALIGN
-        total_chunks = (astart[-1] + padded_counts[-1]) // ALIGN
+        astart_chunks = astart // align
+        total_chunks = (astart[-1] + padded_counts[-1]) // align
         qs = jnp.arange(n_chunks, dtype=jnp.int32)
         ct = jnp.searchsorted(astart_chunks, qs, side="right"
                               ).astype(jnp.int32) - 1
@@ -171,11 +172,11 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         chunk_rank = qs - astart_chunks[jnp.clip(ct, 0, num_tiles - 1)]
         # gaussian id per aligned slot. All per-slot index math is expressed
         # per-chunk + per-lane (broadcast, no [acap] gathers): within chunk q
-        # of tile t, slot lane l sits at k_in_tile = chunk_rank[q]*ALIGN + l.
-        lane = jnp.arange(ALIGN, dtype=jnp.int32)
+        # of tile t, slot lane l sits at k_in_tile = chunk_rank[q]*align + l.
+        lane = jnp.arange(align, dtype=jnp.int32)
         ct_c = jnp.clip(chunk_tile, 0, num_tiles - 1)
-        k_in_tile = chunk_rank[:, None] * ALIGN + lane[None, :]
-        src = tile_start[ct_c][:, None] + k_in_tile        # [n_chunks, ALIGN]
+        k_in_tile = chunk_rank[:, None] * align + lane[None, :]
+        src = tile_start[ct_c][:, None] + k_in_tile        # [n_chunks, align]
         valid_slot = ((chunk_tile < num_tiles)[:, None]
                       & (k_in_tile < tile_count[ct_c][:, None])
                       & (src < pair_cap))

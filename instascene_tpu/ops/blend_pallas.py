@@ -481,7 +481,7 @@ blend_pallas_diff.defvjp(_blend_diff_fwd, _blend_diff_bwd)
 
 def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
                         Tst, m1s, m2s, done_s, *, tile, grid_x, num_tiles,
-                        n_extra):
+                        n_extra, chunk=CHUNK):
     i = pl.program_id(0)
     E = n_extra
     tt = ct_ref[i]
@@ -508,7 +508,7 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         bt = packed_ref[...].T                   # [C, D]
         C = bt.shape[0]
         g = _splat_terms(bt, pxf, pyf)
-        slot = (cr_ref[i] * CHUNK
+        slot = (cr_ref[i] * chunk
                 + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0))
         m = g["m"]
         alpha = g["alpha"]
@@ -586,17 +586,19 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
 def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
                              chunk_rank: jnp.ndarray, num_tiles: int,
                              tile: int, grid_x: int, n_extra: int,
-                             interpret: bool = False) -> PallasBlendFwdOut:
-    """packed [D, ACAP] (aligned layout); chunk_tile/chunk_rank [ACAP//128]."""
+                             interpret: bool = False,
+                             chunk: int = CHUNK) -> PallasBlendFwdOut:
+    """packed [D, ACAP] (aligned layout); chunk_tile/chunk_rank
+    [ACAP//chunk]."""
     D, acap = packed.shape
-    n_chunks = acap // CHUNK
+    n_chunks = acap // chunk
     P2 = tile * tile
     OC = 12 + n_extra
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec((D, CHUNK), lambda i, ct, cr: (0, i))],
+        in_specs=[pl.BlockSpec((D, chunk), lambda i, ct, cr: (0, i))],
         out_specs=[
             pl.BlockSpec((1, OC, P2),
                          lambda i, ct, cr: (jnp.minimum(ct[i], num_tiles - 1),
@@ -610,7 +612,8 @@ def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
                         pltpu.VMEM((1, P2), jnp.int32)],
     )
     kernel = functools.partial(_fwd_kernel_aligned, tile=tile, grid_x=grid_x,
-                               num_tiles=num_tiles, n_extra=n_extra)
+                               num_tiles=num_tiles, n_extra=n_extra,
+                               chunk=chunk)
     out, iout = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -623,7 +626,8 @@ def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
 
 def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
                         iout_ref, dout_ref, Tst, Ss, *, tile, grid_x,
-                        num_tiles, n_extra, n_chunks, extras_only=False):
+                        num_tiles, n_extra, n_chunks, extras_only=False,
+                        chunk=CHUNK):
     i = pl.program_id(0)
     j = n_chunks - 1 - i
     E = n_extra
@@ -651,7 +655,7 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         bt = packed_ref[...].T
         C = bt.shape[0]
         g = _splat_terms(bt, pxf, pyf)
-        slot = (cr_ref[j] * CHUNK
+        slot = (cr_ref[j] * chunk
                 + jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0))
         gslot = slot + 1
         alpha = g["alpha"]
@@ -776,9 +780,10 @@ def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
                              chunk_rank, num_tiles: int, tile: int,
                              grid_x: int, n_extra: int,
                              interpret: bool = False,
-                             extras_only: bool = False) -> jnp.ndarray:
+                             extras_only: bool = False,
+                             chunk: int = CHUNK) -> jnp.ndarray:
     D, acap = packed.shape
-    n_chunks = acap // CHUNK
+    n_chunks = acap // chunk
     P2 = tile * tile
     OC = 12 + n_extra
 
@@ -789,18 +794,19 @@ def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
         num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((D, CHUNK), lambda i, ct, cr: (0, n_chunks - 1 - i)),
+            pl.BlockSpec((D, chunk), lambda i, ct, cr: (0, n_chunks - 1 - i)),
             pl.BlockSpec((1, OC, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0)),
             pl.BlockSpec((1, 3, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0)),
             pl.BlockSpec((1, 2, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0))],
-        out_specs=[pl.BlockSpec((D, CHUNK),
+        out_specs=[pl.BlockSpec((D, chunk),
                                 lambda i, ct, cr: (0, n_chunks - 1 - i))],
         scratch_shapes=[pltpu.VMEM((1, P2), jnp.float32),
                         pltpu.VMEM((1, P2), jnp.float32)],
     )
     kernel = functools.partial(_bwd_kernel_aligned, tile=tile, grid_x=grid_x,
                                num_tiles=num_tiles, n_extra=n_extra,
-                               n_chunks=n_chunks, extras_only=extras_only)
+                               n_chunks=n_chunks, extras_only=extras_only,
+                               chunk=chunk)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -809,9 +815,10 @@ def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
     )(chunk_tile, chunk_rank, packed, gout, saved, iout)[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
 def blend_aligned_diff(flat, binning_bundle, num_tiles, tile, grid_x,
-                       n_extra, interpret, extras_only=False):
+                       n_extra, interpret, extras_only=False,
+                       chunk=CHUNK):
     """Differentiable aligned-layout Pallas blend.
 
     flat [N+1, D] per-gaussian packed attrs (sentinel zero row last);
@@ -821,30 +828,33 @@ def blend_aligned_diff(flat, binning_bundle, num_tiles, tile, grid_x,
     per-slot grads → permutation gather back to expansion order → one cumsum
     with per-gaussian segment-boundary differences."""
     out, iout, _ = _blend_aligned_fwd_impl(flat, binning_bundle, num_tiles,
-                                           tile, grid_x, n_extra, interpret)
+                                           tile, grid_x, n_extra, interpret,
+                                           chunk)
     return out, iout
 
 
 def _blend_aligned_fwd_impl(flat, bundle, num_tiles, tile, grid_x, n_extra,
-                            interpret):
+                            interpret, chunk=CHUNK):
     aligned_gid, chunk_tile, chunk_rank = bundle[0], bundle[1], bundle[2]
     packed = flat[aligned_gid].T            # [D, ACAP]
     f = blend_fwd_pallas_aligned(packed, chunk_tile, chunk_rank, num_tiles,
-                                 tile, grid_x, n_extra, interpret)
+                                 tile, grid_x, n_extra, interpret,
+                                 chunk=chunk)
     return f.out, f.iout, packed
 
 
 def _blend_aligned_diff_fwd(flat, bundle, num_tiles, tile, grid_x, n_extra,
-                            interpret, extras_only=False):
+                            interpret, extras_only=False, chunk=CHUNK):
     out, iout, packed = _blend_aligned_fwd_impl(flat, bundle, num_tiles, tile,
-                                                grid_x, n_extra, interpret)
+                                                grid_x, n_extra, interpret,
+                                                chunk)
     E = n_extra
     saved = jnp.concatenate([out[:, 9:10], out[:, 10 + E:12 + E]], axis=1)
     return (out, iout), (packed, bundle, saved, iout, flat.shape[0])
 
 
 def _blend_aligned_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
-                            extras_only, res, cts):
+                            extras_only, chunk, res, cts):
     packed, bundle, saved, iout, n1 = res
     gout, _ = cts
     (aligned_gid, chunk_tile, chunk_rank, aligned_of_orig,
@@ -852,7 +862,7 @@ def _blend_aligned_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
     d_packed = blend_bwd_pallas_aligned(packed, gout, saved, iout,
                                         chunk_tile, chunk_rank, num_tiles,
                                         tile, grid_x, n_extra, interpret,
-                                        extras_only=extras_only)
+                                        extras_only=extras_only, chunk=chunk)
     d_aligned = d_packed.T                              # [ACAP, D]
     d_orig = d_aligned[aligned_of_orig]                 # [pair_cap, D]
     s = jnp.concatenate([jnp.zeros((1, d_orig.shape[1]), d_orig.dtype),

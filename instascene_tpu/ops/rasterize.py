@@ -46,6 +46,10 @@ class RasterizeConfig:
     # channel gradients (callers must differentiate extras ONLY — geometry
     # grads silently come back zero). Used by semantic training.
     bwd_extras_only: bool = False
+    # pairs per Pallas grid step (and aligned-layout segment alignment).
+    # Bigger chunks amortize grid-step overhead at the cost of more per-tile
+    # padding and VMEM; must be a multiple of 128.
+    pallas_chunk: int = 128
 
     def resolved(self, n: int) -> "RasterizeConfig":
         # auto caps are deliberately tight — the sort is O(pair_cap); callers
@@ -59,12 +63,11 @@ class RasterizeConfig:
                     and not self.track_contrib else "xla")
         chunk = self.chunk
         if impl == "pallas":
-            from .blend_pallas import CHUNK as PALLAS_CHUNK
-            chunk = PALLAS_CHUNK
+            chunk = self.pallas_chunk
         tile_cap = ((tile_cap + chunk - 1) // chunk) * chunk
         return RasterizeConfig(self.width, self.height, self.tile, chunk,
                                pair_cap, tile_cap, self.track_contrib, impl,
-                               self.bwd_extras_only)
+                               self.bwd_extras_only, self.pallas_chunk)
 
 
 def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
@@ -90,7 +93,7 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
     interp = jax.default_backend() == "cpu"  # tests exercise interpret mode
     out, iout = blend_aligned_diff(flat, tuple(binning.aligned), num_tiles,
                                    cfg.tile, grid_x, E, interp,
-                                   cfg.bwd_extras_only)
+                                   cfg.bwd_extras_only, cfg.pallas_chunk)
     maps = maps_from_pallas(out, iout, width, height, cfg.tile, E)
     color = maps["color_nobg"] + maps["final_T"][..., None] * bg
     return _BlendOut(color=color, depth=maps["depth"],
@@ -141,7 +144,8 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
     else:
         layout = "aligned" if cfg.impl == "pallas" else "padded"
         binning = bin_gaussians(pre, width, height, cfg.pair_cap,
-                                cfg.tile_cap, tile=cfg.tile, layout=layout)
+                                cfg.tile_cap, tile=cfg.tile, layout=layout,
+                                align=cfg.pallas_chunk)
 
     n = means3d.shape[0]
     T_used = pre.T if t_offset is None else pre.T + t_offset
@@ -208,14 +212,15 @@ def densify_screen_grad(t_grad: jnp.ndarray, depth: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "pair_cap",
-                                   "tile_cap", "layout"))
+                                   "tile_cap", "layout", "align"))
 def _binning_cache_impl(xyz, scales, rotations, alive, w2v, full_proj, campos,
-                        width, height, tile, pair_cap, tile_cap, layout):
+                        width, height, tile, pair_cap, tile_cap, layout,
+                        align=128):
     pre = preprocess_gaussians(xyz, scales, rotations, w2v, full_proj, campos,
                                width, height, color=xyz * 0.0, tile=tile,
                                alive=alive)
     b = bin_gaussians(pre, width, height, pair_cap, tile_cap, tile=tile,
-                      layout=layout)
+                      layout=layout, align=align)
     if layout == "aligned":
         return tuple(b.aligned), b.tile_count, b.n_dropped
     return ((b.tile_indices, b.tile_count.astype(jnp.int32)),
@@ -224,16 +229,18 @@ def _binning_cache_impl(xyz, scales, rotations, alive, w2v, full_proj, campos,
 
 def compute_binning_cache(params, cam: CameraMats, width: int, height: int,
                           tile: int = 16, pair_cap: int = 0,
-                          tile_cap: int = 0, impl: str = "auto"):
+                          tile_cap: int = 0, impl: str = "auto",
+                          pallas_chunk: int = 128):
     """Precompute the frozen-geometry binning for one camera. Returns
     (cache_tuple, tile_count, n_dropped); pass cache_tuple as
     rasterize(..., cached_binning=...)."""
     n = params.capacity
     cfg = RasterizeConfig(width=width, height=height, tile=tile,
                           pair_cap=pair_cap, tile_cap=tile_cap,
-                          impl=impl).resolved(n)
+                          impl=impl, pallas_chunk=pallas_chunk).resolved(n)
     layout = "aligned" if cfg.impl == "pallas" else "padded"
     return _binning_cache_impl(
         params.xyz, params.scaling_activated(), params.rotation_normalized(),
         params.alive, cam.w2v, cam.full_proj, cam.campos,
-        cfg.width, cfg.height, cfg.tile, cfg.pair_cap, cfg.tile_cap, layout)
+        cfg.width, cfg.height, cfg.tile, cfg.pair_cap, cfg.tile_cap, layout,
+        align=cfg.pallas_chunk)

@@ -340,3 +340,42 @@ def test_bwd_extras_only_mode(rng):
     a, b = np.asarray(g_full), np.asarray(g_fast)
     assert np.abs(a - b).max() / (np.abs(a).max() + 1e-9) < 1e-4
     assert np.abs(a).max() > 0
+
+
+def test_pallas_chunk256_matches_chunk128(rng):
+    """pallas_chunk=256 must be numerically identical to the default 128."""
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              rasterize)
+    pos = np.array([0.5, -3.0, 1.2])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="t", width=W, height=H)
+    n = 60
+    xyz = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    scales = np.exp(rng.normal(-2.0, 0.3, (n, 2))).astype(np.float32)
+    rots = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, n).astype(np.float32)
+    color = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    extra = rng.normal(size=(n, 4)).astype(np.float32)
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+
+    outs = {}
+    grads = {}
+    for chunk in (128, 256):
+        cfg = RasterizeConfig(width=W, height=H, pair_cap=8192,
+                              tile_cap=512, impl="pallas",
+                              pallas_chunk=chunk)
+
+        def loss(e):
+            o = rasterize(jnp.asarray(xyz), jnp.asarray(scales),
+                          jnp.asarray(rots), jnp.asarray(opac), cm,
+                          jnp.zeros(3), cfg, colors=jnp.asarray(color),
+                          extras=e)
+            return jnp.sum(o.blend.color ** 2) + jnp.sum(o.blend.extra ** 2), o
+        (l, o), g = jax.value_and_grad(loss, has_aux=True)(jnp.asarray(extra))
+        outs[chunk] = np.asarray(o.blend.color)
+        grads[chunk] = np.asarray(g)
+    assert np.allclose(outs[128], outs[256], atol=1e-5)
+    assert np.allclose(grads[128], grads[256], atol=1e-5)
