@@ -57,6 +57,9 @@ class PipelineParams:
     compute_cov3D_python: bool = False
     depth_ratio: float = 1.0
     debug: bool = False
+    # rasterizer backend: auto (pallas on TPU, xla on CPU), or force one.
+    # 'pallas' on CPU runs the kernels in interpret mode (slow; debugging).
+    rasterizer_impl: str = "auto"
 
     SHORTHANDS = {}
 

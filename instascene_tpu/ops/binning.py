@@ -51,7 +51,7 @@ class AlignedLayout(NamedTuple):
 
 
 def aligned_cap(pair_cap: int, num_tiles: int, align: int = ALIGN) -> int:
-    return pair_cap + num_tiles * align
+    return ((pair_cap + align - 1) // align + num_tiles) * align
 
 
 class BinningOut(NamedTuple):

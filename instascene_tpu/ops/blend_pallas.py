@@ -480,7 +480,7 @@ blend_pallas_diff.defvjp(_blend_diff_fwd, _blend_diff_bwd)
 # ------------------------------------------------------------------
 
 def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
-                        Tst, m1s, m2s, done_s, *, tile, grid_x, num_tiles,
+                        Tst, m1s, m2s, *, tile, grid_x, num_tiles,
                         n_extra, chunk=CHUNK):
     i = pl.program_id(0)
     E = n_extra
@@ -495,7 +495,6 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         Tst[...] = jnp.ones_like(Tst)
         m1s[...] = jnp.zeros_like(m1s)
         m2s[...] = jnp.zeros_like(m2s)
-        done_s[...] = jnp.zeros_like(done_s)
 
     @pl.when(tt < num_tiles)
     def _work():
@@ -515,17 +514,24 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         depth_ray = g["depth_ray"]
 
         T_in = Tst[0:1]
-        done_in = done_s[0:1] > 0
 
+        # ONE prefix scan per chunk: transmittance is monotone nonincreasing,
+        # so the early-termination cut (reference: test_T < 1e-4 skips the
+        # slot and everything after) is an elementwise test on the inclusive
+        # scan, and the contribution-clipped cumulative log-opacity is
+        # max(cum_incl, cum_excl at the first cut) — a max-reduce, not a
+        # second scan.
         am = jnp.where(m, alpha, 0.0)
         log1m = jnp.log(1.0 - am)
-        T_i = T_in * jnp.exp(_cumsum_excl(log1m))
-        done_i = m & (T_i * (1.0 - alpha) < 1e-4)
-        done_cum = (_cumsum_incl(done_i.astype(jnp.float32)) > 0.5) | done_in
+        cum_excl = _cumsum_excl(log1m)
+        cum_incl = cum_excl + log1m
+        done_cum = T_in * jnp.exp(cum_incl) < 1e-4   # T after slot i
         cmask = m & ~done_cum
+        cut_val = jnp.max(jnp.where(done_cum, cum_excl, -1e30), axis=0,
+                          keepdims=True)             # cum_excl at first cut
+        cum_c = jnp.maximum(cum_incl, cut_val)
         ac = jnp.where(cmask, alpha, 0.0)
-        log1c = jnp.log(1.0 - ac)
-        cum_c = _cumsum_incl(log1c)
+        log1c = jnp.where(cmask, log1m, 0.0)
         T_c = T_in * jnp.exp(cum_c - log1c)
         w = ac * T_c
 
@@ -540,8 +546,11 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / d_safe)
         mw = md * w
         m2w = md * md * w
-        m1_excl = m1s[0:1] + _cumsum_excl(mw)
-        m2_excl = m2s[0:1] + _cumsum_excl(m2w)
+        # the two moment scans share one packed scan (independent per lane)
+        mm_excl = _cumsum_excl(jnp.concatenate([mw, m2w], axis=1))
+        P2 = tile * tile
+        m1_excl = m1s[0:1] + mm_excl[:, :P2]
+        m2_excl = m2s[0:1] + mm_excl[:, P2:]
         acc_dist = jnp.sum((md * md * (1.0 - T_c) + m2_excl
                             - 2.0 * md * m1_excl) * w, axis=0, keepdims=True)
 
@@ -580,7 +589,6 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         Tst[0:1] = T_out
         m1s[0:1] = m1s[0:1] + jnp.sum(mw, axis=0, keepdims=True)
         m2s[0:1] = m2s[0:1] + jnp.sum(m2w, axis=0, keepdims=True)
-        done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
 
 
 def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
@@ -608,8 +616,7 @@ def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
                                             0, 0))],
         scratch_shapes=[pltpu.VMEM((1, P2), jnp.float32),
                         pltpu.VMEM((1, P2), jnp.float32),
-                        pltpu.VMEM((1, P2), jnp.float32),
-                        pltpu.VMEM((1, P2), jnp.int32)],
+                        pltpu.VMEM((1, P2), jnp.float32)],
     )
     kernel = functools.partial(_fwd_kernel_aligned, tile=tile, grid_x=grid_x,
                                num_tiles=num_tiles, n_extra=n_extra,
@@ -679,12 +686,11 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
 
         if extras_only:
             # feature-lifting fast path: only d(extras) = w·ĝ_ext is needed;
-            # the whole alpha/depth/geometry chain is skipped (callers slice
-            # only the feature columns of d_flat)
+            # the whole alpha/depth/geometry chain is skipped and the output
+            # carries ONLY the E feature rows ([E, acap] instead of [D, acap])
             gext = gout_ref[0, 10:10 + E]
             dext = jnp.dot(w, gext.T, preferred_element_type=jnp.float32)
-            dout_ref[...] = jnp.zeros_like(dout_ref)
-            dout_ref[_EXT:_EXT + E, :] = dext.T
+            dout_ref[...] = dext.T
             Tst[0:1] = T_entry
             return
 
@@ -786,6 +792,7 @@ def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
     n_chunks = acap // chunk
     P2 = tile * tile
     OC = 12 + n_extra
+    rows = n_extra if extras_only else D   # extras_only emits feature rows only
 
     def tile_of(i, ct):
         return jnp.minimum(ct[n_chunks - 1 - i], num_tiles - 1)
@@ -798,7 +805,7 @@ def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
             pl.BlockSpec((1, OC, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0)),
             pl.BlockSpec((1, 3, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0)),
             pl.BlockSpec((1, 2, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0))],
-        out_specs=[pl.BlockSpec((D, chunk),
+        out_specs=[pl.BlockSpec((rows, chunk),
                                 lambda i, ct, cr: (0, n_chunks - 1 - i))],
         scratch_shapes=[pltpu.VMEM((1, P2), jnp.float32),
                         pltpu.VMEM((1, P2), jnp.float32)],
@@ -810,7 +817,7 @@ def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((D, acap), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((rows, acap), jnp.float32)],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(chunk_tile, chunk_rank, packed, gout, saved, iout)[0]
 
@@ -863,14 +870,19 @@ def _blend_aligned_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
                                         chunk_tile, chunk_rank, num_tiles,
                                         tile, grid_x, n_extra, interpret,
                                         extras_only=extras_only, chunk=chunk)
-    d_aligned = d_packed.T                              # [ACAP, D]
-    d_orig = d_aligned[aligned_of_orig]                 # [pair_cap, D]
+    d_aligned = d_packed.T                      # [ACAP, D] or [ACAP, E]
+    d_orig = d_aligned[aligned_of_orig]         # [pair_cap, rows]
     s = jnp.concatenate([jnp.zeros((1, d_orig.shape[1]), d_orig.dtype),
                          jnp.cumsum(d_orig, axis=0)], axis=0)
     pair_cap = d_orig.shape[0]
     lo = jnp.clip(gauss_offsets, 0, pair_cap)
     hi = jnp.clip(gauss_csum, 0, pair_cap)
-    d_gauss = s[hi] - s[lo]                             # [N, D]
+    d_gauss = s[hi] - s[lo]                     # [N, rows]
+    if extras_only:
+        # kernel emitted only the E feature rows; the rest of d_flat is zero
+        d_gauss = jnp.concatenate(
+            [jnp.zeros((d_gauss.shape[0], _EXT), d_gauss.dtype), d_gauss],
+            axis=1)
     d_flat = jnp.concatenate(
         [d_gauss, jnp.zeros((1, d_gauss.shape[1]), d_gauss.dtype)], axis=0)
     return d_flat, None

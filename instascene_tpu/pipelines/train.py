@@ -190,6 +190,9 @@ class GeometryTrainer:
         self.rng = random.Random(seed)
         self.key = jax.random.PRNGKey(seed)
         self.rasterize_opts = rasterize_opts or {}
+        impl = getattr(pipe, "rasterizer_impl", "auto")
+        if impl != "auto":
+            self.rasterize_opts.setdefault("impl", impl)
         self.ema = {"loss": 0.0, "dist": 0.0, "normal": 0.0}
         self._pair_cap = 0
         self._pair_hiwater = 0

@@ -241,18 +241,19 @@ class SegSplatting:
         k = max(128, (max_count + 127) // 128 * 128)
         pair_cap = max(128 * 1024,
                        1 << int(np.ceil(np.log2(max(max_pairs, 1) * 1.3))))
+        impl = getattr(self.pipe, "rasterizer_impl", "auto")
         cache = []
         for ct, cam in zip(self.cams, self.cam_objs):
             cb, tc, nd = compute_binning_cache(
                 self.params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
                 int(cam.width), int(cam.height), tile=tile, tile_cap=k,
-                pair_cap=pair_cap)
+                pair_cap=pair_cap, impl=impl)
             if int(nd) > 0:  # safety: grow once on overflow
                 pair_cap *= 2
                 cb, tc, nd = compute_binning_cache(
                     self.params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
                     int(cam.width), int(cam.height), tile=tile, tile_cap=k,
-                    pair_cap=pair_cap)
+                    pair_cap=pair_cap, impl=impl)
             cache.append(cb)
         self.binning_cache = cache
         self.binning_k = k
@@ -296,9 +297,10 @@ class SegSplatting:
             ci = stack.pop(self.rng.randint(0, len(stack) - 1))
             ct = self.cams[ci]
             cam_obj = self.cam_objs[ci]
-            cfg = RasterizeConfig(width=int(cam_obj.width),
-                                  height=int(cam_obj.height),
-                                  bwd_extras_only=True)
+            cfg = RasterizeConfig(
+                width=int(cam_obj.width), height=int(cam_obj.height),
+                bwd_extras_only=True,
+                impl=getattr(self.pipe, "rasterizer_impl", "auto"))
             segmap = (jnp.asarray(cam_obj.segmap)
                       if cam_obj.segmap is not None else zeros_map)
             sorted_segmap = (jnp.asarray(cam_obj.sorted_segmap)
