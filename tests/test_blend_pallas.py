@@ -364,7 +364,8 @@ def test_pallas_chunk256_matches_chunk128(rng):
     outs = {}
     grads = {}
     for chunk in (128, 256):
-        cfg = RasterizeConfig(width=W, height=H, pair_cap=8192,
+        # pair_cap deliberately NOT a multiple of 256: aligned_cap must round
+        cfg = RasterizeConfig(width=W, height=H, pair_cap=8000,
                               tile_cap=512, impl="pallas",
                               pallas_chunk=chunk)
 
