@@ -36,16 +36,22 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _window_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise 2D conv with same padding. img [H,W,C]."""
+    """Depthwise gaussian blur with same padding, img [H,W,C]. The 2D window
+    is separable (outer(g, g)) — run two 1D depthwise convs (11+11 taps
+    instead of 121; the six blurs dominate the SSIM cost)."""
     c = img.shape[-1]
-    kernel = jnp.asarray(window)[:, :, None, None]
-    kernel = jnp.tile(kernel, (1, 1, 1, c))  # HWIO with feature_group_count=C
+    k = window.shape[0]
+    g1 = jnp.asarray(window[k // 2, :] / window[k // 2, :].sum(),
+                     jnp.float32)
+    kern_w = jnp.tile(g1[None, :, None, None], (1, 1, 1, c))   # (1,k,1,C)
+    kern_h = jnp.tile(g1[:, None, None, None], (1, 1, 1, c))   # (k,1,1,C)
     x = img[None]  # NHWC
-    out = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST)
-    return out[0]
+    for kern in (kern_w, kern_h):
+        x = jax.lax.conv_general_dilated(
+            x, kern, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
+    return x[0]
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:

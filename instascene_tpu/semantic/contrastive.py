@@ -50,22 +50,23 @@ def contrastive_loss(features: jnp.ndarray,       # [B,D]
         jnp.linalg.norm(features, axis=-1, keepdims=True) + 1e-9)
     featm = jnp.where(ok[:, None], feats, 0.0)
 
-    cnt = jax.ops.segment_sum(ok.astype(jnp.float32), seg,
-                              num_segments=max_labels + 1)[:max_labels]
+    # per-cluster sums as ONE-HOT MATMULS on the MXU — a [K,B]x[B,*] dot is
+    # far cheaper than B-row scatter-adds (TPU segment_sum lowers to scatter)
+    onehot = (seg[None, :] == jnp.arange(max_labels)[:, None]
+              ).astype(jnp.float32)                       # [K, B]
+    cnt = onehot @ ok.astype(jnp.float32)                 # [K]
     present = cnt > 0
     cnt_safe = jnp.maximum(cnt, 1.0)
 
     if predef_u is not None:
         u = predef_u[:max_labels]
     else:
-        fsum = jax.ops.segment_sum(featm, seg,
-                                   num_segments=max_labels + 1)[:max_labels]
+        fsum = jnp.einsum("kb,bd->kd", onehot, featm, precision=_HI)
         u = fsum / cnt_safe[:, None]
 
     diff_norm = jnp.linalg.norm(feats - u[jnp.clip(labels, 0, max_labels - 1)],
                                 axis=-1)
-    phi_sum = jax.ops.segment_sum(jnp.where(ok, diff_norm, 0.0), seg,
-                                  num_segments=max_labels + 1)[:max_labels]
+    phi_sum = onehot @ jnp.where(ok, diff_norm, 0.0)
     phi = phi_sum / (cnt_safe * jnp.log(cnt_safe + temp_lambda))
     phi = jnp.clip(phi * 10.0, 0.5, 1.0)
     phi = jax.lax.stop_gradient(phi)
