@@ -117,19 +117,31 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 
 
 def read_points3D_binary(path: str):
-    """Returns (xyz [N,3] f64, rgb [N,3] u8, errors [N,1] f64)."""
+    """Returns (xyz [N,3] f64, rgb [N,3] u8, errors [N,1] f64).
+
+    The record layout is variable-length (per-point track lists), so parsing
+    is a sequential walk; the native C++ walker (native/colmap_io.cpp) does
+    it at memory speed, with this Python loop as the fallback."""
     with open(path, "rb") as f:
-        num = _read_next_bytes(f, 8, "Q")[0]
-        xyz = np.empty((num, 3))
-        rgb = np.empty((num, 3), dtype=np.uint8)
-        errors = np.empty((num, 1))
-        for i in range(num):
-            vals = _read_next_bytes(f, 43, "QdddBBBd")
-            xyz[i] = vals[1:4]
-            rgb[i] = vals[4:7]
-            errors[i] = vals[7]
-            track_len = _read_next_bytes(f, 8, "Q")[0]
-            f.read(8 * track_len)
+        data = f.read()
+    from .native import points3d_parse_native
+    parsed = points3d_parse_native(data)
+    if parsed is not None:
+        return parsed
+
+    import io
+    f = io.BytesIO(data)
+    num = _read_next_bytes(f, 8, "Q")[0]
+    xyz = np.empty((num, 3))
+    rgb = np.empty((num, 3), dtype=np.uint8)
+    errors = np.empty((num, 1))
+    for i in range(num):
+        vals = _read_next_bytes(f, 43, "QdddBBBd")
+        xyz[i] = vals[1:4]
+        rgb[i] = vals[4:7]
+        errors[i] = vals[7]
+        track_len = _read_next_bytes(f, 8, "Q")[0]
+        f.read(8 * track_len)
     return xyz, rgb, errors
 
 

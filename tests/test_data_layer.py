@@ -208,3 +208,52 @@ def test_build_rotation(rng):
     assert np.allclose(Rn, Rj, atol=1e-5)
     for i in range(7):
         assert np.allclose(Rn[i] @ Rn[i].T, np.eye(3), atol=1e-5)
+
+
+def test_native_points3d_parser(tmp_path):
+    """The C++ points3D.bin walker must agree with the Python fallback and
+    beat it on malformed input (returns None, falls back cleanly)."""
+    import struct
+
+    from instascene_tpu.data import colmap
+    from instascene_tpu.data.native import get_lib, points3d_parse_native
+
+    rng = np.random.default_rng(5)
+    n = 200
+    path = tmp_path / "points3D.bin"
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", n))
+        for i in range(n):
+            xyz = rng.normal(size=3)
+            rgb = rng.integers(0, 256, 3)
+            tl = int(rng.integers(0, 6))
+            f.write(struct.pack("<Q3d3Bd", i, *xyz, *rgb, rng.random()))
+            f.write(struct.pack("<Q", tl))
+            f.write(b"\x00" * (8 * tl))
+    data = open(path, "rb").read()
+
+    xyz_n, rgb_n, err_n = colmap.read_points3D_binary(str(path))
+    assert xyz_n.shape == (n, 3) and rgb_n.shape == (n, 3)
+
+    if get_lib() is not None:  # native available: cross-check vs python loop
+        native = points3d_parse_native(data)
+        assert native is not None
+        # force the python path by truncating... instead re-parse manually
+        import io
+        f = io.BytesIO(data)
+        num = colmap._read_next_bytes(f, 8, "Q")[0]
+        xyz_p = np.empty((num, 3))
+        rgb_p = np.empty((num, 3), np.uint8)
+        err_p = np.empty((num, 1))
+        for i in range(num):
+            vals = colmap._read_next_bytes(f, 43, "QdddBBBd")
+            xyz_p[i] = vals[1:4]
+            rgb_p[i] = vals[4:7]
+            err_p[i] = vals[7]
+            tl = colmap._read_next_bytes(f, 8, "Q")[0]
+            f.read(8 * tl)
+        assert np.array_equal(native[0], xyz_p)
+        assert np.array_equal(native[1], rgb_p)
+        assert np.array_equal(native[2], err_p)
+        # malformed buffer → clean None (no crash/overread)
+        assert points3d_parse_native(data[:-5]) is None
