@@ -481,7 +481,7 @@ blend_pallas_diff.defvjp(_blend_diff_fwd, _blend_diff_bwd)
 
 def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
                         Tst, m1s, m2s, *, tile, grid_x, num_tiles,
-                        n_extra, chunk=CHUNK):
+                        n_extra, chunk=CHUNK, extras_only=False):
     i = pl.program_id(0)
     E = n_extra
     tt = ct_ref[i]
@@ -535,7 +535,25 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         T_c = T_in * jnp.exp(cum_c - log1c)
         w = ac * T_c
 
+        gslot = slot + 1
+        lastc = jnp.max(jnp.where(cmask, gslot, 0), axis=0, keepdims=True)
+        T_out = T_in * jnp.exp(cum_c[-1:, :])
         out = out_ref[0]
+        iout = iout_ref[0]
+
+        if extras_only:
+            # feature-lifting fast path: only the feature sums, the final
+            # transmittance and the contributor count are produced (exactly
+            # what the extras-only backward consumes); color/depth/normal/
+            # median/distortion rows stay zero.
+            acc_ext = jnp.dot(bt[:, _EXT:_EXT + E].T, w,
+                              preferred_element_type=jnp.float32)
+            out_ref[0, 9:10] = T_out
+            out_ref[0, 10:10 + E] = out[10:10 + E] + acc_ext
+            iout_ref[0, 0:1] = jnp.maximum(iout[0:1], lastc)
+            Tst[0:1] = T_out
+            return
+
         acc_col = jnp.dot(bt[:, _COL:_COL + 3].T, w,
                           preferred_element_type=jnp.float32)
         acc_nrm = jnp.dot(bt[:, _NRM:_NRM + 3].T, w,
@@ -561,11 +579,8 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         med_onehot = (iota_c + 1 == crank) & cand
         med_val = jnp.sum(jnp.where(med_onehot, depth_ray, 0.0), axis=0,
                           keepdims=True)
-        gslot = slot + 1
-        lastc = jnp.max(jnp.where(cmask, gslot, 0), axis=0, keepdims=True)
         med_slot = jnp.max(jnp.where(med_onehot, gslot, 0), axis=0,
                            keepdims=True)
-        T_out = T_in * jnp.exp(cum_c[-1:, :])
 
         out_ref[0, 0:3] = out[0:3] + acc_col
         out_ref[0, 3:4] = out[3:4] + acc_dep
@@ -582,7 +597,6 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         out_ref[0, 11 + E:12 + E] = m2s[0:1] + jnp.sum(m2w, axis=0,
                                                        keepdims=True)
 
-        iout = iout_ref[0]
         iout_ref[0, 0:1] = jnp.maximum(iout[0:1], lastc)
         iout_ref[0, 1:2] = jnp.where(has_cand, med_slot, iout[1:2])
 
@@ -595,7 +609,8 @@ def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
                              chunk_rank: jnp.ndarray, num_tiles: int,
                              tile: int, grid_x: int, n_extra: int,
                              interpret: bool = False,
-                             chunk: int = CHUNK) -> PallasBlendFwdOut:
+                             chunk: int = CHUNK,
+                             extras_only: bool = False) -> PallasBlendFwdOut:
     """packed [D, ACAP] (aligned layout); chunk_tile/chunk_rank
     [ACAP//chunk]."""
     D, acap = packed.shape
@@ -620,7 +635,7 @@ def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
     )
     kernel = functools.partial(_fwd_kernel_aligned, tile=tile, grid_x=grid_x,
                                num_tiles=num_tiles, n_extra=n_extra,
-                               chunk=chunk)
+                               chunk=chunk, extras_only=extras_only)
     out, iout = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -836,17 +851,17 @@ def blend_aligned_diff(flat, binning_bundle, num_tiles, tile, grid_x,
     with per-gaussian segment-boundary differences."""
     out, iout, _ = _blend_aligned_fwd_impl(flat, binning_bundle, num_tiles,
                                            tile, grid_x, n_extra, interpret,
-                                           chunk)
+                                           chunk, extras_only)
     return out, iout
 
 
 def _blend_aligned_fwd_impl(flat, bundle, num_tiles, tile, grid_x, n_extra,
-                            interpret, chunk=CHUNK):
+                            interpret, chunk=CHUNK, extras_only=False):
     aligned_gid, chunk_tile, chunk_rank = bundle[0], bundle[1], bundle[2]
     packed = flat[aligned_gid].T            # [D, ACAP]
     f = blend_fwd_pallas_aligned(packed, chunk_tile, chunk_rank, num_tiles,
                                  tile, grid_x, n_extra, interpret,
-                                 chunk=chunk)
+                                 chunk=chunk, extras_only=extras_only)
     return f.out, f.iout, packed
 
 
@@ -854,7 +869,7 @@ def _blend_aligned_diff_fwd(flat, bundle, num_tiles, tile, grid_x, n_extra,
                             interpret, extras_only=False, chunk=CHUNK):
     out, iout, packed = _blend_aligned_fwd_impl(flat, bundle, num_tiles, tile,
                                                 grid_x, n_extra, interpret,
-                                                chunk)
+                                                chunk, extras_only)
     E = n_extra
     saved = jnp.concatenate([out[:, 9:10], out[:, 10 + E:12 + E]], axis=1)
     return (out, iout), (packed, bundle, saved, iout, flat.shape[0])

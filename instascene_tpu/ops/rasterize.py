@@ -42,9 +42,11 @@ class RasterizeConfig:
     tile_cap: int = 0        # 0 → auto: min(pair_cap, 4096)
     track_contrib: bool = False
     impl: str = "auto"       # 'auto' | 'xla' | 'pallas'
-    # feature-lifting fast path: the Pallas backward computes only the extra-
-    # channel gradients (callers must differentiate extras ONLY — geometry
-    # grads silently come back zero). Used by semantic training.
+    # feature-lifting fast path: the forward produces only the feature sums,
+    # final transmittance and contributor counts (color/depth/normal/median/
+    # distortion outputs are ZERO), and the backward computes only the extra-
+    # channel gradients (geometry grads silently come back zero). Used by
+    # semantic training, whose loss reads only the feature channels.
     bwd_extras_only: bool = False
     # pairs per Pallas grid step (and aligned-layout segment alignment).
     # Bigger chunks amortize grid-step overhead at the cost of more per-tile
