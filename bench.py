@@ -95,6 +95,9 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
             width, height)
         cache.append(cb)
     mv_cb = tuple(jnp.zeros((n_mv,) + a.shape, jnp.int32) for a in cache[0])
+    # per-camera validity prefix sums (as the semantic trainer precomputes)
+    seg_cs = jnp.cumsum((segmap.reshape(-1) > 0).astype(jnp.int32))
+    vis_cs = jnp.cumsum((lab3d > 0).astype(jnp.int32))
 
     def one(i, p, s, k):
         ct = cams[i % len(cams)]
@@ -103,7 +106,9 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
             p, s, sub, ct.w2v, ct.full_proj, ct.campos, segmap, segmap,
             *zeros_mv, lab3d, cf, jnp.zeros(3), lrs,
             1e-6, 0.0, 2.5e-6, cfg, 32 * 1024, 64, False, False, False, n_mv,
-            cached_binning=cache[i % len(cams)], mv_cached_binning=mv_cb)
+            cached_binning=cache[i % len(cams)], mv_cached_binning=mv_cb,
+            has_csums=True, seg_csum=seg_cs, sorted_csum=seg_cs,
+            vis3d_csum=vis_cs)
         return p, s, k, loss
 
     # compile + warm-up: the first ~5 executions of a fresh program run ~20x

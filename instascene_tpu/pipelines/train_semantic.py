@@ -26,7 +26,8 @@ import numpy as np
 from ..models import gaussians as gmod
 from ..models.optimizer import adam_step, init_adam_state, semantic_lrs
 from ..ops.rasterize import CameraMats, RasterizeConfig, rasterize
-from ..semantic.contrastive import contrastive_loss, sample_valid_pixels
+from ..semantic.contrastive import (contrastive_loss,
+                                    sample_from_csum, sample_valid_pixels)
 from ..semantic.spatial_track import ClusteringArgs, GausCluster
 from .train import CameraTensors, camera_tensors
 
@@ -50,7 +51,7 @@ def render_features(params: gmod.GaussianParams, cam: CameraMats, bg,
 
 @partial(jax.jit, static_argnames=("cfg", "batch", "max_labels",
                                    "consider_negative", "has_class_feat",
-                                   "do_multiview", "n_mv"))
+                                   "do_multiview", "n_mv", "has_csums"))
 def semantic_train_step(params, opt_state, key,
                         w2v, full_proj, campos, segmap, sorted_segmap,
                         mv_w2v, mv_full_proj, mv_campos, mv_sorted_segmaps,
@@ -59,7 +60,9 @@ def semantic_train_step(params, opt_state, key,
                         cfg: RasterizeConfig, batch: int, max_labels: int,
                         consider_negative: bool, has_class_feat: bool,
                         do_multiview: bool, n_mv: int,
-                        cached_binning=None, mv_cached_binning=None):
+                        cached_binning=None, mv_cached_binning=None,
+                        has_csums: bool = False, seg_csum=None,
+                        sorted_csum=None, vis3d_csum=None):
     cam = CameraMats(w2v, full_proj, campos)
     cf = class_feat if has_class_feat else None
 
@@ -76,10 +79,18 @@ def semantic_train_step(params, opt_state, key,
         for seg, mask_type in seg_list:
             labels_flat = seg.reshape(-1)
             neg = consider_negative and mask_type == 0
-            valid = (jnp.ones_like(labels_flat, bool) if neg
-                     else labels_flat > 0)
             k, sub = jax.random.split(k)
-            idx, any_valid = sample_valid_pixels(sub, valid, batch)
+            if neg:
+                # every pixel valid — plain uniform indices
+                idx = jax.random.randint(sub, (batch,), 0,
+                                         labels_flat.shape[0])
+                any_valid = jnp.bool_(True)
+            elif has_csums:
+                idx, any_valid = sample_from_csum(
+                    sub, seg_csum if mask_type == 0 else sorted_csum, batch)
+            else:
+                idx, any_valid = sample_valid_pixels(
+                    sub, labels_flat > 0, batch)
             f = featmap[idx]
             l = labels_flat[idx]
             weight = 1.0 if mask_type == 1 else 0.5
@@ -106,13 +117,17 @@ def semantic_train_step(params, opt_state, key,
                                   predef_u=cf)
             total = total + jnp.where(any_valid, cl, 0.0) * lam_mv
 
-        # 3D over visible gaussians (:175-195)
-        visible = out.visible
+        # 3D over visible gaussians (:175-195). Visibility is a pure
+        # function of the frozen geometry + camera, so its prefix sum is
+        # per-camera cacheable.
         feat_norm = seg_feature / (jnp.linalg.norm(
             seg_feature, axis=1, keepdims=True) + 1e-6)
-        valid3d = visible & (seg3d_labels > 0)
         k, sub = jax.random.split(k)
-        idx, any_valid = sample_valid_pixels(sub, valid3d, batch)
+        if has_csums:
+            idx, any_valid = sample_from_csum(sub, vis3d_csum, batch)
+        else:
+            idx, any_valid = sample_valid_pixels(
+                sub, out.visible & (seg3d_labels > 0), batch)
         cl = contrastive_loss(feat_norm[idx], seg3d_labels[idx], max_labels,
                               predef_u=cf)
         total = total + jnp.where(any_valid, cl, 0.0) * lam_3d
@@ -259,6 +274,41 @@ class SegSplatting:
         self.binning_k = k
         return cache
 
+    def _precompute_sampling(self):
+        """Per-camera validity prefix sums for the pixel/point samplers —
+        segmap labels and frozen-geometry visibility are constants, so the
+        hot loop pays randint + searchsorted only."""
+        from functools import partial as _partial
+
+        from ..ops.preprocess import preprocess_gaussians
+
+        @_partial(jax.jit, static_argnames=("width", "height"))
+        def _vis(xyz, scales, rotations, alive, w2v, full_proj, campos,
+                 width, height):
+            pre = preprocess_gaussians(xyz, scales, rotations, w2v,
+                                       full_proj, campos, width, height,
+                                       color=xyz * 0.0, alive=alive)
+            return pre.valid & (pre.radius > 0)
+
+        lab3d_ok = self.seg3d_labels_padded > 0
+        seg_cs, sorted_cs, vis_cs = [], [], []
+        for ct, cam in zip(self.cams, self.cam_objs):
+            seg = (jnp.asarray(cam.segmap).reshape(-1) > 0
+                   if cam.segmap is not None
+                   else jnp.zeros(int(cam.width) * int(cam.height), bool))
+            seg_cs.append(jnp.cumsum(seg.astype(jnp.int32)))
+            srt = (jnp.asarray(cam.sorted_segmap).reshape(-1) > 0
+                   if cam.sorted_segmap is not None
+                   else jnp.zeros(int(cam.width) * int(cam.height), bool))
+            sorted_cs.append(jnp.cumsum(srt.astype(jnp.int32)))
+            vis = _vis(self.params.xyz, self.params.scaling_activated(),
+                       self.params.rotation_normalized(), self.params.alive,
+                       ct.w2v, ct.full_proj, ct.campos,
+                       int(cam.width), int(cam.height))
+            vis_cs.append(jnp.cumsum((vis & lab3d_ok).astype(jnp.int32)))
+        self.sampling_csums = (seg_cs, sorted_cs, vis_cs)
+        return self.sampling_csums
+
     def _max_labels(self) -> int:
         m = 1
         for c in self.cam_objs:
@@ -280,6 +330,9 @@ class SegSplatting:
         max_labels = self._max_labels()
         if not hasattr(self, "binning_cache"):
             self._precompute_binning()
+        if not hasattr(self, "sampling_csums"):
+            self._precompute_sampling()
+        seg_cs, sorted_cs, vis_cs = self.sampling_csums
         n_mv = opt.sample_mv_frames
         has_cf = self.class_feat is not None
         cf = (jnp.asarray(np.pad(self.class_feat,
@@ -340,7 +393,9 @@ class SegSplatting:
                 opt.lambda_singview_contras, opt.lambda_multiview_contras,
                 opt.lambda_3D_contras, cfg, int(opt.sample_batchsize),
                 max_labels, bool(opt.consider_negative_labels), has_cf,
-                do_mv, n_mv, cached_binning=cb, mv_cached_binning=mv_cb)
+                do_mv, n_mv, cached_binning=cb, mv_cached_binning=mv_cb,
+                has_csums=True, seg_csum=seg_cs[ci],
+                sorted_csum=sorted_cs[ci], vis3d_csum=vis_cs[ci])
             if it % 10 == 0:
                 bar.set_postfix({"ContraLoss": f"{float(loss):.3f}"})
             if it % save_every == 0 or it == iterations:

@@ -85,8 +85,16 @@ def sample_valid_pixels(key, valid_flat: jnp.ndarray, batch: int):
     subset, train_semantic.py:126). Scatter-free: the r-th valid element is
     located by binary search on the validity prefix sum (TPU scatters are slow;
     searchsorted is a cheap gather loop). Returns (idx [batch], any_valid)."""
-    c = jnp.cumsum(valid_flat.astype(jnp.int32))
-    n_valid = c[-1]
+    return sample_from_csum(key, jnp.cumsum(valid_flat.astype(jnp.int32)),
+                            batch)
+
+
+def sample_from_csum(key, csum: jnp.ndarray, batch: int):
+    """sample_valid_pixels given a precomputed validity prefix sum. In
+    semantic training the validity masks (segmap labels, frozen-geometry
+    visibility) are per-camera constants, so trainers precompute the cumsum
+    once per camera and the hot loop pays only randint + searchsorted."""
+    n_valid = csum[-1]
     r = jax.random.randint(key, (batch,), 0, jnp.maximum(n_valid, 1))
-    idx = jnp.searchsorted(c, r, side="right").astype(jnp.int32)
-    return jnp.minimum(idx, valid_flat.shape[0] - 1), n_valid > 0
+    idx = jnp.searchsorted(csum, r, side="right").astype(jnp.int32)
+    return jnp.minimum(idx, csum.shape[0] - 1), n_valid > 0
