@@ -178,7 +178,20 @@ def bench_render_fps(params, make_cam, width=1920, height=1080, iters=20):
     cam = make_cam(0, width, height)
     cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
                     jnp.asarray(cam.camera_center))
-    cfg = RasterizeConfig(width=width, height=height)
+    # honest caps: at 1080p the true pair count exceeds the auto heuristic —
+    # grow until nothing is dropped (as render()/the trainers do)
+    from instascene_tpu.ops.rasterize import compute_binning_cache
+    pair_cap = 0
+    for _ in range(4):
+        _, _, nd = compute_binning_cache(params, cm, width, height,
+                                         pair_cap=pair_cap, tile_cap=128,
+                                         impl="xla")
+        if int(nd) == 0:
+            break
+        pair_cap = 2 * (pair_cap or RasterizeConfig(
+            width=width, height=height).resolved(
+                params.capacity).pair_cap)
+    cfg = RasterizeConfig(width=width, height=height, pair_cap=pair_cap)
 
     # chain iterations (identical re-dispatches get deduped on this runtime)
     @jax.jit

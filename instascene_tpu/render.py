@@ -36,10 +36,14 @@ def _cached_rays(width, height, tanfovx, tanfovy, c2w_rot_bytes):
     return jnp.asarray(camera_rays(width, height, tanfovx, tanfovy, c2w_rot))
 
 
+_PAIR_CAP_HIWATER: dict = {}  # (w, h, n, tile) -> sticky grown pair_cap
+
+
 def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
            scaling_modifier: float = 1.0, override_color=None,
            norm_seg_feat: bool = True, track_contrib: bool = False,
-           t_offset=None, cfg: Optional[RasterizeConfig] = None) -> dict:
+           t_offset=None, cfg: Optional[RasterizeConfig] = None,
+           grow_on_drop: bool = True) -> dict:
     """Render a view of `gaussians` (a GaussianParams pytree or GaussianModel).
 
     Returns dict with reference keys: render, radii, visibility_filter,
@@ -51,6 +55,7 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
 
     width = int(viewpoint_camera.width)
     height = int(viewpoint_camera.height)
+    auto_caps = cfg is None or cfg.pair_cap == 0
     if cfg is None:
         cfg = RasterizeConfig(width=width, height=height,
                               track_contrib=track_contrib)
@@ -59,6 +64,15 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
                               chunk=cfg.chunk, pair_cap=cfg.pair_cap,
                               tile_cap=cfg.tile_cap,
                               track_contrib=track_contrib or cfg.track_contrib)
+    # auto caps are a heuristic; at high resolutions the true pair count can
+    # exceed them (the CUDA reference allocates the exact total dynamically).
+    # When the caller didn't pin pair_cap, grow to a sticky high-water cap on
+    # overflow so no pairs are silently dropped.
+    hw_key = (width, height, n, cfg.tile)
+    if auto_caps and grow_on_drop and hw_key in _PAIR_CAP_HIWATER:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, pair_cap=_PAIR_CAP_HIWATER[hw_key],
+                                  tile_cap=0)
 
     cam = camera_mats(viewpoint_camera)
     bg = jnp.asarray(bg_color, dtype=jnp.float32)
@@ -77,11 +91,19 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
     else:
         colors = override_color
 
-    out = rasterize(p.xyz, p.scaling_activated() * scaling_modifier,
-                    p.rotation_normalized(), p.opacity_activated()[:, 0],
-                    cam, bg, cfg, colors=colors, shs=shs, sh_degree=sh_degree,
-                    extras=seg_feature, t_offset=t_offset,
-                    alive=getattr(p, "alive", None))
+    while True:
+        out = rasterize(p.xyz, p.scaling_activated() * scaling_modifier,
+                        p.rotation_normalized(),
+                        p.opacity_activated()[:, 0],
+                        cam, bg, cfg, colors=colors, shs=shs,
+                        sh_degree=sh_degree, extras=seg_feature,
+                        t_offset=t_offset, alive=getattr(p, "alive", None))
+        if not (auto_caps and grow_on_drop) or int(out.n_dropped) == 0:
+            break
+        import dataclasses
+        grown = 2 * cfg.resolved(n).pair_cap
+        _PAIR_CAP_HIWATER[hw_key] = grown
+        cfg = dataclasses.replace(cfg, pair_cap=grown, tile_cap=0)
     b = out.blend
 
     # world-frame normal map: n_world = R_view^T n_view

@@ -184,3 +184,37 @@ def test_cfg_args_roundtrip(tmp_path):
     merged = get_combined_args(parser, ["-m", str(tmp_path)])
     assert merged.source_path == "/data/x"
     assert merged.iterations == 7000
+
+
+def test_render_grows_pair_cap_on_overflow(rng):
+    """render() with auto caps must not silently drop pairs: huge splats at
+    256x192 exceed the 64k auto pair floor and trigger the sticky growth."""
+    import jax.numpy as jnp
+
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.data.synthetic import look_at
+    from instascene_tpu.models.gaussians import GaussianParams
+    from instascene_tpu.render import render
+
+    n = 1200
+    pos = np.array([0.0, -4.0, 0.5])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=1.0, fovy=0.8,
+                 image_name="t", width=256, height=192)
+    params = GaussianParams(
+        xyz=jnp.asarray(rng.normal(0, 0.5, (n, 3)).astype(np.float32)),
+        features_dc=jnp.asarray(rng.normal(0, .2, (n, 1, 3)).astype(np.float32)),
+        features_rest=jnp.zeros((n, 15, 3)),
+        scaling=jnp.full((n, 2), np.log(1.5), jnp.float32),  # huge splats
+        rotation=jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+        opacity=jnp.zeros((n, 1)),
+        seg_feature=None, alive=jnp.ones(n, bool),
+        active_sh_degree=0, max_sh_degree=3)
+
+    class Pipe:
+        depth_ratio = 0.0
+
+    pkg = render(cam, params, Pipe(), jnp.zeros(3))
+    assert int(pkg["n_dropped"]) == 0
+    from instascene_tpu.render import _PAIR_CAP_HIWATER
+    assert any(k[0] == 256 for k in _PAIR_CAP_HIWATER)  # growth engaged
