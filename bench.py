@@ -179,18 +179,19 @@ def bench_render_fps(params, make_cam, width=1920, height=1080, iters=20):
     cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
                     jnp.asarray(cam.camera_center))
     # honest caps: at 1080p the true pair count exceeds the auto heuristic —
-    # grow until nothing is dropped (as render()/the trainers do)
+    # probe the true total (sum of uncapped per-tile counts) and size snugly
     from instascene_tpu.ops.rasterize import compute_binning_cache
-    pair_cap = 0
+    pair_cap = RasterizeConfig(width=width, height=height).resolved(
+        params.capacity).pair_cap
     for _ in range(4):
-        _, _, nd = compute_binning_cache(params, cm, width, height,
+        _, tc, _ = compute_binning_cache(params, cm, width, height,
                                          pair_cap=pair_cap, tile_cap=128,
                                          impl="xla")
-        if int(nd) == 0:
+        total = int(jnp.sum(tc))
+        if total < 0.95 * pair_cap:
+            pair_cap = (int(total * 1.3) + 127) // 128 * 128
             break
-        pair_cap = 2 * (pair_cap or RasterizeConfig(
-            width=width, height=height).resolved(
-                params.capacity).pair_cap)
+        pair_cap *= 2
     cfg = RasterizeConfig(width=width, height=height, pair_cap=pair_cap)
 
     # chain iterations (identical re-dispatches get deduped on this runtime)

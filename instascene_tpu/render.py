@@ -91,19 +91,24 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
     else:
         colors = override_color
 
-    while True:
+    for attempt in range(4):
         out = rasterize(p.xyz, p.scaling_activated() * scaling_modifier,
                         p.rotation_normalized(),
                         p.opacity_activated()[:, 0],
                         cam, bg, cfg, colors=colors, shs=shs,
                         sh_degree=sh_degree, extras=seg_feature,
                         t_offset=t_offset, alive=getattr(p, "alive", None))
-        if not (auto_caps and grow_on_drop) or int(out.n_dropped) == 0:
+        if (not (auto_caps and grow_on_drop) or attempt == 3
+                or int(out.n_dropped) == 0):
             break
         import dataclasses
-        grown = 2 * cfg.resolved(n).pair_cap
+        r = cfg.resolved(n)
+        # double both caps: n_dropped counts pair overflow (aligned) and
+        # per-tile tile_cap clipping (padded)
+        grown = 2 * r.pair_cap
         _PAIR_CAP_HIWATER[hw_key] = grown
-        cfg = dataclasses.replace(cfg, pair_cap=grown, tile_cap=0)
+        cfg = dataclasses.replace(cfg, pair_cap=grown,
+                                  tile_cap=2 * r.tile_cap)
     b = out.blend
 
     # world-frame normal map: n_world = R_view^T n_view
