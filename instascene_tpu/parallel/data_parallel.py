@@ -96,3 +96,58 @@ def build_dp_train_step(cfg: RasterizeConfig, tanfovx: float, tanfovy: float,
                    out_specs=(rep, rep, rep, rep),
                    check_rep=False)
     return jax.jit(fn)
+
+def build_dp_semantic_step(cfg: RasterizeConfig, mesh: Mesh,
+                           batch: int = 1024, max_labels: int = 64,
+                           lam_sv: float = 1e-6, lam_3d: float = 2.5e-6):
+    """Jitted DP semantic (contrastive) step over `mesh` ('data' axis).
+
+    Each chip renders + samples its own camera view of the shared gaussian
+    features; feature gradients are pmean'd over ICI before the replicated
+    (seg_feature-only) Adam step — multiplying the per-step supervision by
+    the mesh size vs the reference's single-view step.
+
+    Call as fn(params, opt_state, key[B,2], w2v[B,4,4], full_proj[B,4,4],
+    campos[B,3], segmap[B,H,W], seg3d_labels[N], bg[3], lr) with
+    B == mesh size; returns (params, opt_state, loss)."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..models.optimizer import TRAINABLE_FIELDS
+    from ..pipelines.train_semantic import render_features
+    from ..semantic.contrastive import contrastive_loss, sample_valid_pixels
+
+    def per_device(params, opt_state, key, w2v, full_proj, campos, segmap,
+                   seg3d_labels, bg, lr):
+        cam = CameraMats(w2v[0], full_proj[0], campos[0])
+
+        def loss_fn(feat):
+            out = render_features(params, cam, bg, cfg, feat)
+            featmap = out.blend.extra.reshape(-1, feat.shape[1])
+            labels = segmap[0].reshape(-1)
+            k1, k2 = jax.random.split(key[0])
+            idx, any_valid = sample_valid_pixels(k1, labels > 0, batch)
+            sv = contrastive_loss(featmap[idx], labels[idx], max_labels)
+            fn_ = feat / (jnp.linalg.norm(feat, axis=1, keepdims=True) + 1e-6)
+            v3 = out.visible & (seg3d_labels > 0)
+            idx3, any3 = sample_valid_pixels(k2, v3, batch)
+            l3 = contrastive_loss(fn_[idx3], seg3d_labels[idx3], max_labels)
+            return (jnp.where(any_valid, sv, 0.0) * lam_sv
+                    + jnp.where(any3, l3, 0.0) * lam_3d)
+
+        loss, g = jax.value_and_grad(loss_fn)(params.seg_feature)
+        g = jax.lax.pmean(g, "data")
+        loss = jax.lax.pmean(loss, "data")
+        lrs = {f: 0.0 for f in TRAINABLE_FIELDS} | {"seg_feature": lr}
+        params, opt_state = adam_step(
+            params, params.replace(seg_feature=g), opt_state, lrs,
+            frozen_fields=("xyz", "features_dc", "features_rest", "scaling",
+                           "rotation", "opacity"))
+        return params, opt_state, loss
+
+    rep = P()
+    bat = P("data")
+    fn = shard_map(per_device, mesh=mesh,
+                   in_specs=(rep, rep, bat, bat, bat, bat, bat, rep, rep, rep),
+                   out_specs=(rep, rep, rep),
+                   check_rep=False)
+    return jax.jit(fn)

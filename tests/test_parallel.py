@@ -34,3 +34,56 @@ def test_graft_entry_compiles():
     fn, args = ge.entry()
     img = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_dp_semantic_step_8way(rng):
+    """Camera-sharded contrastive step over the 8-device mesh: shared
+    features get pmean'd gradients; loss finite; features move."""
+    import jax
+    import jax.numpy as jnp
+
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.data.synthetic import look_at
+    from instascene_tpu.models.gaussians import create_from_pcd
+    from instascene_tpu.models.optimizer import init_adam_state
+    from instascene_tpu.ops.knn import mean_dist2_knn3
+    from instascene_tpu.ops.rasterize import RasterizeConfig
+    from instascene_tpu.parallel.data_parallel import (build_dp_semantic_step,
+                                                       make_mesh)
+    from instascene_tpu.pipelines.train import camera_tensors
+
+    n_dev = len(jax.devices())
+    width, height = 32, 32
+    pts = rng.normal(0, 0.5, (96, 3)).astype(np.float32)
+    cols = rng.random((96, 3)).astype(np.float32)
+    d2 = np.asarray(mean_dist2_knn3(jnp.asarray(pts)))
+    params = create_from_pcd(pts, cols, d2, capacity=128)
+    cams = []
+    for i in range(n_dev):
+        ang = 2 * np.pi * i / max(n_dev, 1)
+        pos = np.array([3.0 * np.cos(ang), 3.0 * np.sin(ang), 1.0])
+        R_w2c, t = look_at(pos, np.zeros(3))
+        cams.append(camera_tensors(Camera(
+            uid=i, colmap_id=i, R=R_w2c.T, T=t, fovx=0.9, fovy=0.9,
+            image_name=str(i), width=width, height=height)))
+    rng = np.random.default_rng(3)
+    params = params.replace(
+        seg_feature=jnp.asarray(rng.random((params.capacity, 8)
+                                           ).astype(np.float32)))
+    opt_state = init_adam_state(params)
+    mesh = make_mesh(n_dev)
+    cfg = RasterizeConfig(width=width, height=height, chunk=16,
+                          pair_cap=8192, tile_cap=64, bwd_extras_only=True)
+    step = build_dp_semantic_step(cfg, mesh, batch=256, max_labels=16)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_dev)
+    segmaps = jnp.asarray(rng.integers(0, 8, (n_dev, height, width)
+                                       ).astype(np.int32))
+    lab3d = jnp.asarray(rng.integers(0, 8, params.capacity).astype(np.int32))
+    w2v = jnp.stack([c.w2v for c in cams])[:n_dev]
+    fp = jnp.stack([c.full_proj for c in cams])[:n_dev]
+    cp = jnp.stack([c.campos for c in cams])[:n_dev]
+    p2, o2, loss = step(params, opt_state, keys, w2v, fp, cp, segmaps,
+                        lab3d, jnp.zeros(3), jnp.float32(2.5e-3))
+    assert np.isfinite(float(loss))
+    moved = float(jnp.abs(p2.seg_feature - params.seg_feature).max())
+    assert moved > 0
