@@ -40,6 +40,11 @@ def main(argv=None):
     pipe = PipelineParams.extract(args)
 
     safe_state(args.quiet)
+    if args.detect_anomaly:
+        # parity with torch.autograd.set_detect_anomaly (reference
+        # train.py:306): fail fast on the first NaN/Inf in any jitted op
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     from instascene_tpu.data.dataset import Scene
     from instascene_tpu.pipelines.train import GeometryTrainer
@@ -64,11 +69,20 @@ def main(argv=None):
         except OSError:
             gui = None
 
+    import time as _time
+
     from tqdm import tqdm
+
+    from instascene_tpu.utils.tb import (log_eval_scalars, log_train_scalars,
+                                         maybe_summary_writer)
+    tb = maybe_summary_writer(scene.model_path)
     bar = tqdm(range(first_iter + 1, opt.iterations + 1),
                desc="Training progress")
     for it in bar:
+        _t0 = _time.perf_counter()
         metrics = trainer.step(it)
+        if tb is not None and it % 10 == 0:
+            log_train_scalars(tb, it, metrics, _time.perf_counter() - _t0)
         if it % 10 == 0:
             for k in ("loss", "dist", "normal"):
                 trainer.ema[k] = 0.4 * float(metrics[k]) + 0.6 * trainer.ema[k]
@@ -80,6 +94,8 @@ def main(argv=None):
             ev = trainer.evaluate(list(range(0, min(len(trainer.cams), 25), 5)))
             print(f"\n[ITER {it}] Evaluating: L1 {ev['l1']:.4f} "
                   f"PSNR {ev['psnr']:.2f}")
+            log_eval_scalars(tb, it, "train", ev["l1"], ev["psnr"],
+                             int(trainer.params.n_alive()))
         if it in args.save_iterations:
             print(f"\n[ITER {it}] Saving Gaussians")
             trainer.save(it)
