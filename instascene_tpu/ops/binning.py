@@ -168,8 +168,24 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         qs = jnp.arange(n_chunks, dtype=jnp.int32)
         ct = jnp.searchsorted(astart_chunks, qs, side="right"
                               ).astype(jnp.int32) - 1
-        chunk_tile = jnp.where(qs < total_chunks, ct, num_tiles)
-        chunk_rank = qs - astart_chunks[jnp.clip(ct, 0, num_tiles - 1)]
+        # Tiles with ZERO pairs own no chunk, so no grid step would ever
+        # initialize their output block — the kernel would return whatever
+        # was in that memory. The aligned capacity reserves >= one spare
+        # chunk per tile (aligned_cap), so assign one tail chunk to each
+        # empty tile: its slots are all sentinels, the kernel zero-inits the
+        # block and writes T=1 (correct empty-tile output).
+        empty = tile_count == 0
+        ecs = jnp.cumsum(empty.astype(jnp.int32))
+        k_tail = qs - total_chunks
+        kth_empty = jnp.searchsorted(ecs, k_tail + 1, side="left"
+                                     ).astype(jnp.int32)
+        tail_tile = jnp.where((k_tail >= 0) & (k_tail < ecs[-1]),
+                              jnp.clip(kth_empty, 0, num_tiles - 1),
+                              num_tiles)
+        is_tail = qs >= total_chunks
+        chunk_tile = jnp.where(is_tail, tail_tile, ct)
+        chunk_rank = jnp.where(
+            is_tail, 0, qs - astart_chunks[jnp.clip(ct, 0, num_tiles - 1)])
         # gaussian id per aligned slot. All per-slot index math is expressed
         # per-chunk + per-lane (broadcast, no [acap] gathers): within chunk q
         # of tile t, slot lane l sits at k_in_tile = chunk_rank[q]*align + l.

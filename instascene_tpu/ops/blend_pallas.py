@@ -216,6 +216,7 @@ def _fwd_kernel(count_ref, packed_ref, out_ref, iout_ref,
         m1s[0:1] = m1s[0:1] + jnp.sum(mw, axis=0, keepdims=True)
         m2s[0:1] = m2s[0:1] + jnp.sum(m2w, axis=0, keepdims=True)
         done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
+        done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
 
 
 class PallasBlendFwdOut(NamedTuple):
@@ -480,7 +481,7 @@ blend_pallas_diff.defvjp(_blend_diff_fwd, _blend_diff_bwd)
 # ------------------------------------------------------------------
 
 def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
-                        Tst, m1s, m2s, *, tile, grid_x, num_tiles,
+                        Tst, m1s, m2s, done_s, *, tile, grid_x, num_tiles,
                         n_extra, chunk=CHUNK, extras_only=False):
     i = pl.program_id(0)
     E = n_extra
@@ -495,6 +496,7 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         Tst[...] = jnp.ones_like(Tst)
         m1s[...] = jnp.zeros_like(m1s)
         m2s[...] = jnp.zeros_like(m2s)
+        done_s[...] = jnp.zeros_like(done_s)
 
     @pl.when(tt < num_tiles)
     def _work():
@@ -515,17 +517,21 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
 
         T_in = Tst[0:1]
 
-        # ONE prefix scan per chunk: transmittance is monotone nonincreasing,
-        # so the early-termination cut (reference: test_T < 1e-4 skips the
-        # slot and everything after) is an elementwise test on the inclusive
-        # scan, and the contribution-clipped cumulative log-opacity is
-        # max(cum_incl, cum_excl at the first cut) — a max-reduce, not a
-        # second scan.
+        # ONE prefix scan per chunk: transmittance is monotone nonincreasing
+        # WITHIN a chunk, so the early-termination cut (reference: test_T <
+        # 1e-4 skips the slot and everything after) is an elementwise test on
+        # the inclusive scan, and the contribution-clipped cumulative
+        # log-opacity is max(cum_incl, cum_excl at the first cut) — a
+        # max-reduce, not a second scan. The cut must LATCH across chunks via
+        # done_s: the carried T excludes the cut slot's alpha and therefore
+        # stays >= 1e-4, so the T test alone would resume blending in the
+        # next chunk.
+        done_in = done_s[0:1] > 0
         am = jnp.where(m, alpha, 0.0)
         log1m = jnp.log(1.0 - am)
         cum_excl = _cumsum_excl(log1m)
         cum_incl = cum_excl + log1m
-        done_cum = T_in * jnp.exp(cum_incl) < 1e-4   # T after slot i
+        done_cum = done_in | (T_in * jnp.exp(cum_incl) < 1e-4)  # T after i
         cmask = m & ~done_cum
         cut_val = jnp.max(jnp.where(done_cum, cum_excl, -1e30), axis=0,
                           keepdims=True)             # cum_excl at first cut
@@ -552,6 +558,7 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
             out_ref[0, 10:10 + E] = out[10:10 + E] + acc_ext
             iout_ref[0, 0:1] = jnp.maximum(iout[0:1], lastc)
             Tst[0:1] = T_out
+            done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
             return
 
         acc_col = jnp.dot(bt[:, _COL:_COL + 3].T, w,
@@ -603,6 +610,7 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         Tst[0:1] = T_out
         m1s[0:1] = m1s[0:1] + jnp.sum(mw, axis=0, keepdims=True)
         m2s[0:1] = m2s[0:1] + jnp.sum(m2w, axis=0, keepdims=True)
+        done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
 
 
 def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
@@ -631,7 +639,8 @@ def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
                                             0, 0))],
         scratch_shapes=[pltpu.VMEM((1, P2), jnp.float32),
                         pltpu.VMEM((1, P2), jnp.float32),
-                        pltpu.VMEM((1, P2), jnp.float32)],
+                        pltpu.VMEM((1, P2), jnp.float32),
+                        pltpu.VMEM((1, P2), jnp.int32)],
     )
     kernel = functools.partial(_fwd_kernel_aligned, tile=tile, grid_x=grid_x,
                                num_tiles=num_tiles, n_extra=n_extra,
