@@ -179,13 +179,30 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         k_tail = qs - total_chunks
         kth_empty = jnp.searchsorted(ecs, k_tail + 1, side="left"
                                      ).astype(jnp.int32)
-        tail_tile = jnp.where((k_tail >= 0) & (k_tail < ecs[-1]),
+        # Leftover tail chunks past the empty tiles must NOT use a num_tiles
+        # sentinel: the kernels' output BlockSpec clamps it to block
+        # num_tiles-1, revisiting that block NON-consecutively whenever any
+        # tile is empty and tile num_tiles-1 is not — and Pallas TPU flushes
+        # the stale VMEM buffer over its rendered output at grid end. Assign
+        # them to the last tile the grid already visited (the last empty tile
+        # if any exist, else num_tiles-1, which is then the last real tile)
+        # so every output block's visits stay consecutive; their chunk_rank is
+        # forced past any real count (below) so all their slots are sentinel
+        # gaussians and the kernel's accumulation is a numeric no-op.
+        any_empty = ecs[-1] > 0
+        last_empty = jnp.max(jnp.where(empty, tile_ids_all, -1))
+        leftover_tile = jnp.where(any_empty, jnp.maximum(last_empty, 0),
+                                  num_tiles - 1)
+        in_empty_range = (k_tail >= 0) & (k_tail < ecs[-1])
+        tail_tile = jnp.where(in_empty_range,
                               jnp.clip(kth_empty, 0, num_tiles - 1),
-                              num_tiles)
+                              leftover_tile)
         is_tail = qs >= total_chunks
+        is_leftover = is_tail & ~in_empty_range
         chunk_tile = jnp.where(is_tail, tail_tile, ct)
         chunk_rank = jnp.where(
-            is_tail, 0, qs - astart_chunks[jnp.clip(ct, 0, num_tiles - 1)])
+            is_tail, jnp.where(is_leftover, n_chunks, 0),
+            qs - astart_chunks[jnp.clip(ct, 0, num_tiles - 1)])
         # gaussian id per aligned slot. All per-slot index math is expressed
         # per-chunk + per-lane (broadcast, no [acap] gathers): within chunk q
         # of tile t, slot lane l sits at k_in_tile = chunk_rank[q]*align + l.

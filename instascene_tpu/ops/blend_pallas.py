@@ -126,6 +126,9 @@ def _fwd_kernel(count_ref, packed_ref, out_ref, iout_ref,
     @pl.when(c == 0)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
+        # empty tiles run only this init: final_T must read 1 (all
+        # transmittance remains), not 0, or they composite as opaque black
+        out_ref[0, 9:10] = jnp.ones_like(out_ref[0, 9:10])
         iout_ref[...] = jnp.zeros_like(iout_ref)
         Tst[...] = jnp.ones_like(Tst)
         m1s[...] = jnp.zeros_like(m1s)
@@ -215,7 +218,6 @@ def _fwd_kernel(count_ref, packed_ref, out_ref, iout_ref,
         Tst[0:1] = T_out
         m1s[0:1] = m1s[0:1] + jnp.sum(mw, axis=0, keepdims=True)
         m2s[0:1] = m2s[0:1] + jnp.sum(m2w, axis=0, keepdims=True)
-        done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
         done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
 
 
@@ -488,8 +490,14 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
     tt = ct_ref[i]
     prev_tt = ct_ref[jnp.maximum(i - 1, 0)]
     first = (i == 0) | (tt != prev_tt)
+    # leftover tail chunks are assigned the LAST visited tile (so output-block
+    # visits stay consecutive — Pallas flushes the VMEM buffer on every index
+    # change) but carry chunk_rank == n_chunks as a sentinel: skip all compute;
+    # the resident buffer already holds that tile's final data and the extra
+    # flush rewrites it unchanged.
+    real = cr_ref[i] < pl.num_programs(0)
 
-    @pl.when(first & (tt < num_tiles))
+    @pl.when(first & real & (tt < num_tiles))
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
         iout_ref[...] = jnp.zeros_like(iout_ref)
@@ -498,7 +506,7 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         m2s[...] = jnp.zeros_like(m2s)
         done_s[...] = jnp.zeros_like(done_s)
 
-    @pl.when(tt < num_tiles)
+    @pl.when(real & (tt < num_tiles))
     def _work():
         ty = (tt // grid_x).astype(jnp.float32)
         tx = (tt % grid_x).astype(jnp.float32)
@@ -665,8 +673,12 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
     tt = ct_ref[j]
     next_tt = ct_ref[jnp.minimum(j + 1, n_chunks - 1)]
     first = (i == 0) | (tt != next_tt)
+    # leftover sentinel chunks (chunk_rank == n_chunks): zero grads, no work.
+    # The Tst/Ss init must still run (they may be the reverse walk's first
+    # visit of their tile); leftovers carry no alpha so the carries hold.
+    real = cr_ref[j] < n_chunks
 
-    @pl.when(tt >= num_tiles)
+    @pl.when((tt >= num_tiles) | ~real)
     def _skip():
         dout_ref[...] = jnp.zeros_like(dout_ref)
 
@@ -675,7 +687,7 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         Tst[0:1] = sv_ref[0, 0:1]
         Ss[...] = jnp.zeros_like(Ss)
 
-    @pl.when(tt < num_tiles)
+    @pl.when(real & (tt < num_tiles))
     def _work():
         ty = (tt // grid_x).astype(jnp.float32)
         tx = (tt % grid_x).astype(jnp.float32)

@@ -35,6 +35,11 @@ LR_ORDER = ("xyz", "features_dc", "features_rest", "opacity", "scaling",
 def make_mesh(n_devices: int = 0) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh({n}): only {len(devs)} jax devices available on "
+            f"platform {devs[0].platform!r}; for virtual CPU devices set "
+            "JAX_PLATFORMS=cpu and jax_num_cpu_devices before backend init")
     return Mesh(np.array(devs[:n]), ("data",))
 
 

@@ -125,11 +125,16 @@ def eval_step(params: GaussianParams, w2v, full_proj, campos, c2w_rot,
               gt_image, bg, cfg: RasterizeConfig, tanfovx, tanfovy,
               depth_ratio):
     cam = CameraMats(w2v, full_proj, campos)
-    out, *_ = render_for_training(params, cam, bg, cfg, None, c2w_rot,
-                                  tanfovx, tanfovy, depth_ratio)
+    out, rend_normal, surf_normal, alpha, surf_depth = render_for_training(
+        params, cam, bg, cfg, None, c2w_rot, tanfovx, tanfovy, depth_ratio)
     img = jnp.clip(out.blend.color, 0.0, 1.0)
     gt = jnp.clip(gt_image, 0.0, 1.0)
-    return {"l1": l1_loss(img, gt), "psnr": psnr(img, gt), "image": img}
+    # image maps are returned for the training_report TB grids
+    # (reference train.py:236-267); scalar-only callers never fetch them
+    return {"l1": l1_loss(img, gt), "psnr": psnr(img, gt), "image": img,
+            "surf_depth": surf_depth, "rend_normal": rend_normal,
+            "surf_normal": surf_normal, "rend_alpha": alpha,
+            "rend_dist": out.blend.distortion}
 
 
 @dataclass
@@ -187,6 +192,8 @@ class GeometryTrainer:
             [1.0, 1.0, 1.0] if dataset.white_background else [0.0, 0.0, 0.0])
         self.cams = [camera_tensors(c) for c in scene.get_train_cameras()]
         self.cam_objs = scene.get_train_cameras()
+        self.test_cams = [camera_tensors(c) for c in scene.get_test_cameras()]
+        self.test_cam_objs = scene.get_test_cameras()
         self.rng = random.Random(seed)
         self.key = jax.random.PRNGKey(seed)
         self.rasterize_opts = rasterize_opts or {}
@@ -278,18 +285,63 @@ class GeometryTrainer:
                     self.params, self.opt_state)
         return metrics
 
-    def evaluate(self, cameras: Optional[List[int]] = None) -> dict:
-        idxs = cameras if cameras is not None else range(len(self.cams))
+    def evaluate(self, cameras: Optional[List[int]] = None,
+                 split: str = "train") -> dict:
+        cams = self.cams if split == "train" else self.test_cams
+        objs = self.cam_objs if split == "train" else self.test_cam_objs
+        idxs = cameras if cameras is not None else range(len(cams))
         l1s, psnrs = [], []
         for i in idxs:
-            ct = self.cams[i]
-            cfg = self._cfg(self.cam_objs[i])
+            ct = cams[i]
+            cfg = self._cfg(objs[i])
             m = eval_step(self.params, ct.w2v, ct.full_proj, ct.campos,
                           ct.c2w_rot, ct.gt_image, self.bg, cfg,
                           ct.tanfovx, ct.tanfovy, float(self.pipe.depth_ratio))
             l1s.append(float(m["l1"]))
             psnrs.append(float(m["psnr"]))
         return {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
+
+    def training_report(self, tb, iteration: int,
+                        is_first_test_iter: bool = False,
+                        max_tb_views: int = 5) -> dict:
+        """Held-out + train-slice evaluation with TB scalars and image grids.
+
+        Parity: reference train.py:222-279 — configs are {'test': ALL test
+        cameras (the --eval every-8th split)} and {'train': cameras
+        [idx % n_train for idx in range(5, 30, 5)]}; logs L1/PSNR per config
+        and, for the first `max_tb_views` views, render/depth/normal/alpha/
+        dist image grids (+ ground truth at the first test iteration)."""
+        from ..utils.tb import log_eval_images, log_eval_scalars
+        results = {}
+        n_train = len(self.cams)
+        configs = [("test", self.test_cams, self.test_cam_objs,
+                    list(range(len(self.test_cams)))),
+                   ("train", self.cams, self.cam_objs,
+                    [idx % n_train for idx in range(5, 30, 5)])]
+        for name, cams, objs, idxs in configs:
+            if not idxs or not cams:
+                continue
+            l1s, psnrs = [], []
+            for k, i in enumerate(idxs):
+                ct = cams[i]
+                cfg = self._cfg(objs[i])
+                m = eval_step(self.params, ct.w2v, ct.full_proj, ct.campos,
+                              ct.c2w_rot, ct.gt_image, self.bg, cfg,
+                              ct.tanfovx, ct.tanfovy,
+                              float(self.pipe.depth_ratio))
+                l1s.append(float(m["l1"]))
+                psnrs.append(float(m["psnr"]))
+                if tb is not None and k < max_tb_views:
+                    log_eval_images(tb, iteration, name,
+                                    objs[i].image_name, m,
+                                    with_gt=is_first_test_iter)
+            res = {"l1": float(np.mean(l1s)), "psnr": float(np.mean(psnrs))}
+            print(f"\n[ITER {iteration}] Evaluating {name}: "
+                  f"L1 {res['l1']:.4f} PSNR {res['psnr']:.2f}")
+            log_eval_scalars(tb, iteration, name, res["l1"], res["psnr"],
+                             int(self.params.n_alive()))
+            results[name] = res
+        return results
 
     def save(self, iteration: int):
         path = os.path.join(self.scene.model_path,

@@ -37,19 +37,28 @@ def _cached_rays(width, height, tanfovx, tanfovy, c2w_rot_bytes):
 
 
 _PAIR_CAP_HIWATER: dict = {}  # (w, h, n, tile) -> sticky grown pair_cap
+# (w, h, n, tile) -> (n_dropped device array, pair_cap it was measured at):
+# the previous frame's overflow check, resolved one frame later so interactive
+# rendering never blocks on a host sync (drop_check="async")
+_PENDING_DROP: dict = {}
 
 
 def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
            scaling_modifier: float = 1.0, override_color=None,
            norm_seg_feat: bool = True, track_contrib: bool = False,
            t_offset=None, cfg: Optional[RasterizeConfig] = None,
-           grow_on_drop: bool = True) -> dict:
+           grow_on_drop: bool = True, drop_check: str = "sync") -> dict:
     """Render a view of `gaussians` (a GaussianParams pytree or GaussianModel).
 
     Returns dict with reference keys: render, radii, visibility_filter,
     seg_feature, rend_alpha, rend_normal, rend_dist, surf_depth, surf_normal,
     rend_depth, rend_median_depth, plus final_T, n_contrib, n_dropped and
-    (when track_contrib) contrib_ids/contrib_w."""
+    (when track_contrib) contrib_ids/contrib_w.
+
+    drop_check: "sync" fetches n_dropped after each attempt and retries with
+    grown caps until drop-free (training default); "async" checks the
+    PREVIOUS same-shape render's count instead — one frame of possible pair
+    drops after a cap overflow, zero host syncs per frame (viewer path)."""
     p = gaussians.params if hasattr(gaussians, "params") else gaussians
     n = p.xyz.shape[0]
 
@@ -69,6 +78,15 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
     # When the caller didn't pin pair_cap, grow to a sticky high-water cap on
     # overflow so no pairs are silently dropped.
     hw_key = (width, height, n, cfg.tile)
+    if auto_caps and grow_on_drop and drop_check == "async":
+        # resolve the previous same-shape frame's overflow count; by the next
+        # frame the device value is long ready, so this fetch doesn't stall
+        pend = _PENDING_DROP.pop(hw_key, None)
+        if pend is not None:
+            dropped, cap_then = pend
+            if int(dropped) > 0:
+                _PAIR_CAP_HIWATER[hw_key] = max(
+                    2 * cap_then, _PAIR_CAP_HIWATER.get(hw_key, 0))
     if auto_caps and grow_on_drop and hw_key in _PAIR_CAP_HIWATER:
         import dataclasses
         cfg = dataclasses.replace(cfg, pair_cap=_PAIR_CAP_HIWATER[hw_key],
@@ -98,8 +116,14 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
                         cam, bg, cfg, colors=colors, shs=shs,
                         sh_degree=sh_degree, extras=seg_feature,
                         t_offset=t_offset, alive=getattr(p, "alive", None))
-        if (not (auto_caps and grow_on_drop) or attempt == 3
-                or int(out.n_dropped) == 0):
+        if not (auto_caps and grow_on_drop) or attempt == 3:
+            break
+        if drop_check == "async":
+            # defer the host sync: the count is inspected before the NEXT
+            # same-shape render instead of stalling this one
+            _PENDING_DROP[hw_key] = (out.n_dropped, cfg.resolved(n).pair_cap)
+            break
+        if int(out.n_dropped) == 0:
             break
         import dataclasses
         r = cfg.resolved(n)

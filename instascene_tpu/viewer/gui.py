@@ -83,15 +83,28 @@ class SegmentationEngine:
     def __post_init__(self):
         self.proj_mat = pca_proj_matrix(np.asarray(self.params.seg_feature))
         self.chosen_features: List[np.ndarray] = []
+        self._frame_key = None   # (pose bytes, params version) of _frame
+        self._frame = None
+        self._params_version = 0
 
     def render_view(self, cam):
+        """Render rgb + feature maps for `cam`. Re-renders only when the pose
+        or the gaussian set changed (click/score updates reuse the frame), and
+        defers the binning-overflow host sync to the next frame
+        (drop_check="async") so the interactive loop never stalls."""
+        key = (np.asarray(cam.w2v, np.float32).tobytes(),
+               self._params_version)
+        if self._frame_key == key:
+            return self._frame
         from ..render import render
-        pkg = render(cam, self.params, self.pipe, self.bg_color)
+        pkg = render(cam, self.params, self.pipe, self.bg_color,
+                     drop_check="async")
         rgb = np.asarray(pkg["render"])
         feat = np.asarray(pkg["seg_feature"])
         feat = feat / (np.linalg.norm(feat, axis=-1, keepdims=True) + 1e-6)
         feat_rgb = np.clip(feat @ self.proj_mat * 0.5 + 0.5, 0, 1)
-        return rgb, feat, feat_rgb
+        self._frame_key, self._frame = key, (rgb, feat, feat_rgb)
+        return self._frame
 
     def click(self, cam, x: int, y: int) -> None:
         """Add a feature prompt at pixel (x, y)."""
@@ -139,6 +152,7 @@ class SegmentationEngine:
         np.save(os.path.join(save_dir, f"segment_{seg_id}_mask.npy"), mask)
         self.params = self.params.replace(
             alive=self.params.alive & np.asarray(mask))
+        self._params_version += 1
         return mask
 
     def delete_3d(self, save_dir: str, seg_id: int = 0):
@@ -149,6 +163,7 @@ class SegmentationEngine:
                       crop_mask=mask[np.asarray(self.params.alive)])
         self.params = self.params.replace(
             alive=self.params.alive & ~np.asarray(mask))
+        self._params_version += 1
         gmod.save_ply(self.params, os.path.join(save_dir,
                                                 f"deleted_{seg_id}.ply"))
         return mask

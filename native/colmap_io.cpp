@@ -46,8 +46,12 @@ long long points3d_parse(const unsigned char* buf, long long len,
     std::memcpy(&err[i], buf + off + 35, 8);
     uint64_t track_len = 0;
     if (!read_at(buf, len, off + 43, &track_len)) return -1;
+    // a corrupt/hostile track_len can overflow the offset arithmetic to a
+    // negative value that passes the next bounds check — reject anything
+    // larger than the bytes actually remaining
+    if (track_len > (uint64_t)(len - off - 51) / 8) return -1;
     off += 51 + (long long)track_len * 8;
-    if (off > len) return -1;
+    if (off < 0 || off > len) return -1;
   }
   return (long long)n;
 }
@@ -74,8 +78,10 @@ long long images_meta_parse(const unsigned char* buf, long long len,
     ++off;
     uint64_t npts = 0;
     if (!read_at(buf, len, off, &npts)) return -1;
+    // same overflow guard as points3d_parse
+    if (npts > (uint64_t)(len - off - 8) / 24) return -1;
     off += 8 + (long long)npts * 24;
-    if (off > len) return -1;
+    if (off < 0 || off > len) return -1;
   }
   return (long long)n;
 }

@@ -426,3 +426,109 @@ def test_pallas_early_termination_dense(rng):
     assert np.abs(np.where(both_term, 0, t_x - t_p)).max() < 1e-5
     assert np.abs(n_x.astype(np.int64) - n_p.astype(np.int64)).max() <= 2
     assert not np.isnan(c_p).any() and not np.isnan(t_p).any()
+
+
+def test_aligned_chunk_visits_consecutive():
+    """Pallas TPU flushes an output block's VMEM buffer when the block index
+    changes between grid steps; a block revisited NON-consecutively gets the
+    stale buffer flushed over its rendered output at grid end. The aligned
+    layout must therefore assign every chunk — including leftover tail
+    chunks — so that each tile's visit positions are contiguous, and leftover
+    chunks must carry only sentinel slots (numeric no-ops in the kernel).
+
+    Regression for the round-1 advisor finding: empty tiles between the last
+    real chunk and num_tiles-sentinel tail chunks made block num_tiles-1's
+    visits non-consecutive whenever any tile was empty and tile num_tiles-1
+    was not. CPU interpret mode cannot catch the flush itself, so this test
+    checks the invariant on the index data directly."""
+    from instascene_tpu.ops.binning import aligned_cap
+    from instascene_tpu.ops.preprocess import PreprocessOut
+
+    width, height, tile = 48, 32, 16
+    grid_x, grid_y = width // tile, height // tile
+    num_tiles = grid_x * grid_y                      # 6
+    # tiles 1..5 get one gaussian each; tile 0 stays empty
+    occupied = [1, 2, 3, 4, 5]
+    n = len(occupied)
+    rect_min = np.array([[t % grid_x, t // grid_x] for t in occupied],
+                        np.int32)
+    rect_max = rect_min + 1
+    pre = PreprocessOut(
+        T=jnp.zeros((n, 3, 3)), normal_view=jnp.zeros((n, 3)),
+        depth=jnp.linspace(1.0, 2.0, n).astype(jnp.float32),
+        xy=jnp.zeros((n, 2)), radius=jnp.ones(n),
+        rect_min=jnp.asarray(rect_min), rect_max=jnp.asarray(rect_max),
+        tiles_touched=jnp.ones(n, jnp.int32),
+        valid=jnp.ones(n, bool), color=jnp.zeros((n, 3)))
+    pair_cap = 512
+    binning = bin_gaussians(pre, width, height, pair_cap=pair_cap,
+                            tile_cap=CHUNK, layout="aligned")
+    al = binning.aligned
+    ct = np.asarray(al.chunk_tile)
+    n_chunks = aligned_cap(pair_cap, num_tiles) // CHUNK
+    assert ct.shape == (n_chunks,)
+    # leftover chunks exist in this configuration (the scenario under test)
+    n_real = int(np.sum(np.asarray(binning.tile_count) > 0))  # 5 chunks
+    assert n_chunks > n_real + 1
+    # 1) no out-of-range sentinel ids remain
+    assert ct.max() < num_tiles
+    # 2) every output block's visits are consecutive
+    clamped = np.minimum(ct, num_tiles - 1)
+    for t in np.unique(clamped):
+        pos = np.flatnonzero(clamped == t)
+        assert np.array_equal(pos, np.arange(pos[0], pos[-1] + 1)), (
+            f"tile {t} visited non-consecutively at {pos}")
+    # 3) all slots of empty-tile and leftover chunks are sentinels
+    gid = np.asarray(al.aligned_gid).reshape(n_chunks, CHUNK)
+    real_tiles = set(occupied)
+    for q in range(n_chunks):
+        if ct[q] not in real_tiles or q >= n_real:
+            assert (gid[q] == n).all(), f"chunk {q} leaked real gaussians"
+    # 4) each occupied tile's single real chunk carries exactly its gaussian
+    for q in range(n_real):
+        assert (gid[q] != n).sum() == 1
+
+
+def test_aligned_all_tiles_occupied_leftover():
+    """No empty tiles: leftover chunks must follow the last real tile
+    (num_tiles-1) so its visits stay consecutive, still sentinel-only."""
+    from instascene_tpu.ops.binning import aligned_cap
+    from instascene_tpu.ops.preprocess import PreprocessOut
+
+    width, height, tile = 48, 32, 16
+    grid_x = width // tile
+    num_tiles = (width // tile) * (height // tile)
+    occupied = list(range(num_tiles))
+    n = len(occupied)
+    rect_min = np.array([[t % grid_x, t // grid_x] for t in occupied],
+                        np.int32)
+    pre = PreprocessOut(
+        T=jnp.zeros((n, 3, 3)), normal_view=jnp.zeros((n, 3)),
+        depth=jnp.linspace(1.0, 2.0, n).astype(jnp.float32),
+        xy=jnp.zeros((n, 2)), radius=jnp.ones(n),
+        rect_min=jnp.asarray(rect_min), rect_max=jnp.asarray(rect_min + 1),
+        tiles_touched=jnp.ones(n, jnp.int32),
+        valid=jnp.ones(n, bool), color=jnp.zeros((n, 3)))
+    binning = bin_gaussians(pre, width, height, pair_cap=512,
+                            tile_cap=CHUNK, layout="aligned")
+    ct = np.asarray(binning.aligned.chunk_tile)
+    n_chunks = aligned_cap(512, num_tiles) // CHUNK
+    assert ct.max() < num_tiles
+    assert (ct[num_tiles:] == num_tiles - 1).all()
+    gid = np.asarray(binning.aligned.aligned_gid).reshape(n_chunks, CHUNK)
+    assert (gid[num_tiles:] == n).all()
+
+
+def test_pallas_fwd_empty_tile_final_T(rng):
+    """Tiles with count==0 run only the init block: final_T must be 1 (all
+    transmittance remains → background composites through), not 0 (opaque
+    black). Regression for the round-1 advisor finding on the padded
+    layout's forward-only path."""
+    packed_t, tile_count, args, E = build_packed(rng)
+    tc = np.asarray(tile_count).copy()
+    tc[0] = 0
+    f = blend_fwd_pallas(packed_t, jnp.asarray(tc), TILE, GRID_X, E,
+                         interpret=True)
+    out0 = np.asarray(f.out)[0]
+    assert np.allclose(out0[9], 1.0), "empty tile must keep final_T = 1"
+    assert np.allclose(out0[0:3], 0.0)

@@ -257,3 +257,22 @@ def test_native_points3d_parser(tmp_path):
         assert np.array_equal(native[2], err_p)
         # malformed buffer → clean None (no crash/overread)
         assert points3d_parse_native(data[:-5]) is None
+
+
+def test_native_parser_rejects_overflowing_lengths():
+    """A corrupt/hostile u64 track_len (or npts) must be rejected before it
+    overflows the offset arithmetic into a negative value that passes the
+    bounds check and triggers an out-of-bounds read (round-1 advisor
+    finding)."""
+    import struct
+
+    from instascene_tpu.data.native import (get_lib, points3d_parse_native)
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+
+    buf = struct.pack("<Q", 2)
+    buf += struct.pack("<Q3d3Bd", 1, 0.0, 0.0, 0.0, 0, 0, 0, 0.1)
+    buf += struct.pack("<Q", 0xFFFFFFFFFFFFFFF0)   # hostile track_len
+    buf += b"\x00" * 64
+    assert points3d_parse_native(buf) is None
