@@ -247,6 +247,29 @@ def crop_mask(p: GaussianParams, mask: np.ndarray, mode: str = "save"
     return pc.replace(alive=alive)
 
 
+def crop_pts_with_convexhull(p: "GaussianParams", pts: np.ndarray,
+                             mode: str = "save", return_bbox: bool = False):
+    """Crop (mode='save') or delete the gaussians inside the convex hull of
+    `pts` (Delaunay membership test). Parity: reference
+    scene/gaussian_model.py:643-658 (crop_pts_with_convexhull); the optional
+    bbox is returned as (center [3], rotation [3,3], extent [3]) of the
+    axis-aligned box of the selected points, matching the reference's
+    OrientedBoundingBox-from-AABB construction without the open3d dependency.
+
+    Returns params or (params, bbox) when return_bbox."""
+    from scipy.spatial import Delaunay
+    pc = compact(p)
+    xyz = np.asarray(pc.xyz)
+    inside = Delaunay(np.asarray(pts, np.float64)).find_simplex(xyz) >= 0
+    bbox = None
+    if return_bbox and inside.any():
+        sel = xyz[inside]
+        lo, hi = sel.min(axis=0), sel.max(axis=0)
+        bbox = ((lo + hi) / 2.0, np.eye(3), hi - lo)
+    out = crop_mask(pc, inside, mode=mode)
+    return (out, bbox) if return_bbox else out
+
+
 def combine(a: GaussianParams, b: GaussianParams,
             load_seg_feat: bool = True) -> GaussianParams:
     """Concatenate two gaussian sets (gaussian_model.py:621-641); new points get

@@ -92,22 +92,39 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     slot_valid = jnp.arange(pair_cap, dtype=jnp.int32) < jnp.minimum(total, pair_cap)
     gid = jnp.where(slot_valid, gid, 0)
 
-    # decode which tile of the gaussian's rect this pair covers. TPU gathers
-    # cost ~per ROW, not per element — pack all per-gaussian values needed in
-    # pair space (offset, rect, depth) into one [N,5] matrix and gather once
-    # instead of five times. All values are integers < 2^24 or f32, exact in
-    # f32 lanes.
-    gtab = jnp.stack([offsets.astype(jnp.float32),
-                      jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1
-                                  ).astype(jnp.float32),
-                      rect_min[:, 0].astype(jnp.float32),
-                      rect_min[:, 1].astype(jnp.float32),
-                      depth], axis=1)                            # [N, 5]
-    prow = gtab[gid]                                             # [pair_cap,5]
-    rank = jnp.arange(pair_cap, dtype=jnp.int32) - prow[:, 0].astype(jnp.int32)
-    rw = prow[:, 1].astype(jnp.int32)
-    rmin_x = prow[:, 2].astype(jnp.int32)
-    rmin_y = prow[:, 3].astype(jnp.int32)
+    tile_bits = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
+    # ≤22 depth bits keeps the downstream f32-exactness margin; clamp after
+    # the cast so the deepest gaussian cannot round up into the next tile's
+    # key range
+    depth_bits = min(22, 31 - tile_bits)
+    # per-gaussian quantized depth (pair slots inherit their gaussian's value)
+    g_valid = tiles_touched > 0
+    dmin = jnp.min(jnp.where(g_valid, depth, jnp.inf))
+    dmax = jnp.max(jnp.where(g_valid, depth, -jnp.inf))
+    dqg = jnp.clip((depth - dmin) / jnp.maximum(dmax - dmin, 1e-12), 0.0, 1.0)
+    dqg = jnp.clip((dqg * ((1 << depth_bits) - 1)).astype(jnp.int32),
+                   0, (1 << depth_bits) - 1)
+
+    # broadcast per-gaussian values into pair space. TPU random row gathers
+    # cost ~8 ns/row — a [pair_cap] gather dominated binning — but pair slots
+    # are grouped by gaussian in INDEX order, so a segmented broadcast is one
+    # scatter-add of adjacent DIFFERENCES at the run starts plus one int32
+    # cumsum (exact; empty runs telescope through the shared start slot).
+    # Columns: pair offset, rect fields packed 10|10|10 (rw | rmin_y |
+    # rmin_x, good to 1023 tiles per axis ≈ 16K resolution), quantized depth.
+    rw_g = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
+    packed_rect = ((rw_g << 20) | (rect_min[:, 1] << 10)
+                   | rect_min[:, 0]).astype(jnp.int32)
+    tab = jnp.stack([offsets.astype(jnp.int32), packed_rect, dqg], axis=1)
+    diffs = tab - jnp.concatenate([jnp.zeros((1, 3), jnp.int32), tab[:-1]])
+    buf = jnp.zeros((pair_cap + 1, 3), jnp.int32
+                    ).at[scatter_pos].add(diffs)
+    bcast = jnp.cumsum(buf[:pair_cap], axis=0)                  # [pair_cap,3]
+    arange_pairs = jnp.arange(pair_cap, dtype=jnp.int32)
+    rank = jnp.where(slot_valid, arange_pairs - bcast[:, 0], 0)
+    rw = jnp.maximum(bcast[:, 1] >> 20, 1)
+    rmin_y = (bcast[:, 1] >> 10) & 1023
+    rmin_x = bcast[:, 1] & 1023
     dy = rank // rw
     dx = rank - dy * rw
     tile_id = (rmin_y + dy) * grid_x + (rmin_x + dx)
@@ -118,19 +135,7 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     # sub-quantum depth ties get an arbitrary — but deterministic — order,
     # which only permutes near-coincident splats). One int32 key + payloads
     # sorts ~3x faster than a 2-key lexicographic sort on TPU.
-    tile_bits = max(int(np.ceil(np.log2(num_tiles + 2))), 1)
-    # ≤22 depth bits keeps the f32 product exact (24-bit mantissa); clamp
-    # after the cast so the deepest gaussian cannot round up into the next
-    # tile's key range
-    depth_bits = min(22, 31 - tile_bits)
-    d = prow[:, 4]  # depth[gid], from the packed per-gaussian gather
-    dmin = jnp.min(jnp.where(slot_valid, d, jnp.inf))
-    dmax = jnp.max(jnp.where(slot_valid, d, -jnp.inf))
-    dq = jnp.clip((d - dmin) / jnp.maximum(dmax - dmin, 1e-12), 0.0, 1.0)
-    dq = jnp.clip((dq * ((1 << depth_bits) - 1)).astype(jnp.int32),
-                  0, (1 << depth_bits) - 1)
-    key = tile_id * (1 << depth_bits) + jnp.where(slot_valid, dq, 0)
-    arange_pairs = jnp.arange(pair_cap, dtype=jnp.int32)
+    key = tile_id * (1 << depth_bits) + jnp.where(slot_valid, bcast[:, 2], 0)
     sorted_key, sorted_gid, sort_perm = jax.lax.sort(
         (key, gid, arange_pairs), num_keys=1)
     sorted_tile = (sorted_key >> depth_bits).astype(jnp.int32)
@@ -203,30 +208,28 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         chunk_rank = jnp.where(
             is_tail, jnp.where(is_leftover, n_chunks, 0),
             qs - astart_chunks[jnp.clip(ct, 0, num_tiles - 1)])
-        # gaussian id per aligned slot. All per-slot index math is expressed
-        # per-chunk + per-lane (broadcast, no [acap] gathers): within chunk q
-        # of tile t, slot lane l sits at k_in_tile = chunk_rank[q]*align + l.
-        lane = jnp.arange(align, dtype=jnp.int32)
-        ct_c = jnp.clip(chunk_tile, 0, num_tiles - 1)
-        k_in_tile = chunk_rank[:, None] * align + lane[None, :]
-        src = tile_start[ct_c][:, None] + k_in_tile        # [n_chunks, align]
-        valid_slot = ((chunk_tile < num_tiles)[:, None]
-                      & (k_in_tile < tile_count[ct_c][:, None])
-                      & (src < pair_cap))
-        aligned_gid = jnp.where(
-            valid_slot, sorted_gid[jnp.clip(src, 0, pair_cap - 1)], n
-        ).reshape(acap)
-        # aligned slot of each original pair (for the scatter-free backward).
-        # Sorted position j of tile t maps to aligned slot
-        # astart[t] + (j - tile_start[t]); scatter that through the sort
-        # permutation in ONE pass (replaces the inverse-permutation scatter
-        # plus three [pair_cap] gathers).
+        # sorted position j of tile t maps to aligned slot j + delta[t],
+        # delta = astart - tile_start. Broadcast delta over the (ascending)
+        # sorted_tile runs with the same diff-scatter + cumsum telescoping as
+        # above (absent tiles share a start slot and telescope through),
+        # avoiding a [pair_cap] random gather.
         delta = astart - tile_start                        # [num_tiles]
+        ddiff = delta - jnp.concatenate([jnp.zeros(1, jnp.int32), delta[:-1]])
+        dbuf = jnp.zeros((pair_cap + 1,), jnp.int32
+                         ).at[jnp.minimum(tile_start, pair_cap)].add(ddiff)
+        delta_b = jnp.cumsum(dbuf[:pair_cap])
         st_ok = sorted_tile < num_tiles
-        a_of_sorted = arange_pairs + delta[jnp.clip(sorted_tile, 0,
-                                                    num_tiles - 1)]
+        a_of_sorted = arange_pairs + delta_b
+        # gaussian id per aligned slot, by scattering the sorted ids to their
+        # aligned slots (cheaper than the equivalent gather; unwritten slots
+        # — per-tile alignment padding, empty/leftover chunks — keep the
+        # sentinel id n, which the kernels treat as a zero row)
+        aligned_gid = jnp.full((acap,), n, jnp.int32).at[
+            jnp.where(st_ok, a_of_sorted, acap)].set(sorted_gid, mode="drop")
         a_of_sorted = jnp.where(st_ok, jnp.clip(a_of_sorted, 0, acap - 1),
                                 acap - 1)
+        # aligned slot of each original pair (for the scatter-free backward),
+        # pushed through the sort permutation in one scatter
         aligned_of_orig = jnp.full((pair_cap,), acap - 1, jnp.int32
                                    ).at[sort_perm].set(a_of_sorted,
                                                        mode="drop")

@@ -69,6 +69,28 @@ def _cumsum_excl(x):
     return jnp.where(row >= 1, rolled, 0.0)
 
 
+def _cumprod_incl(x):
+    """Inclusive prefix product along axis 0 (same log-step roll scheme as
+    _cumsum_incl with identity 1). Direct products replace the exp∘cumsum∘log
+    formulation — same masked-roll count, zero transcendental passes."""
+    c = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    y = x
+    shift = 1
+    while shift < c:
+        rolled = pltpu.roll(y, shift, axis=0)
+        y = y * jnp.where(row >= shift, rolled, 1.0)
+        shift *= 2
+    return y
+
+
+def _shift_down_one(x, fill=1.0):
+    """x shifted down one row (exclusive-scan companion), top row = fill.
+    One roll — cheaper than deriving the exclusive product by division."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    return jnp.where(row >= 1, pltpu.roll(x, 1, axis=0), fill)
+
+
 def _pix_coords(tile: int, grid_x: int):
     t = pl.program_id(0)
     ty = (t // grid_x).astype(jnp.float32)
@@ -506,7 +528,15 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         m2s[...] = jnp.zeros_like(m2s)
         done_s[...] = jnp.zeros_like(done_s)
 
-    @pl.when(real & (tt < num_tiles))
+    # whole-chunk early termination (forward.cu:388-393 block-level break):
+    # once every pixel of the tile has latched done, the remaining chunks
+    # cannot change any output — all carries and out rows already hold their
+    # final values, so skipping the body is exact, not approximate. done_s
+    # holds the PREVIOUS tile's latches when `first` (init runs inside the
+    # same grid step), so first chunks never skip.
+    saturated = (~first) & (jnp.min(done_s[0:1]) > 0)
+
+    @pl.when(real & (tt < num_tiles) & ~saturated)
     def _work():
         ty = (tt // grid_x).astype(jnp.float32)
         tx = (tt % grid_x).astype(jnp.float32)
@@ -529,29 +559,32 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         # WITHIN a chunk, so the early-termination cut (reference: test_T <
         # 1e-4 skips the slot and everything after) is an elementwise test on
         # the inclusive scan, and the contribution-clipped cumulative
-        # log-opacity is max(cum_incl, cum_excl at the first cut) — a
+        # transmittance factor is max(P_incl, P_excl at the first cut) — a
         # max-reduce, not a second scan. The cut must LATCH across chunks via
         # done_s: the carried T excludes the cut slot's alpha and therefore
         # stays >= 1e-4, so the T test alone would resume blending in the
-        # next chunk.
+        # next chunk. Direct multiplicative scan (no log/exp): contributor
+        # 1-alpha >= 0.01, so the divisions below are well-conditioned.
         done_in = done_s[0:1] > 0
         am = jnp.where(m, alpha, 0.0)
-        log1m = jnp.log(1.0 - am)
-        cum_excl = _cumsum_excl(log1m)
-        cum_incl = cum_excl + log1m
-        done_cum = done_in | (T_in * jnp.exp(cum_incl) < 1e-4)  # T after i
+        om = 1.0 - am
+        P_incl = _cumprod_incl(om)
+        P_excl = _shift_down_one(P_incl)             # one roll, no division
+        done_cum = done_in | (T_in * P_incl < 1e-4)  # T after slot i
         cmask = m & ~done_cum
-        cut_val = jnp.max(jnp.where(done_cum, cum_excl, -1e30), axis=0,
-                          keepdims=True)             # cum_excl at first cut
-        cum_c = jnp.maximum(cum_incl, cut_val)
+        cut_val = jnp.max(jnp.where(done_cum, P_excl, 0.0), axis=0,
+                          keepdims=True)             # P_excl at first cut
+        P_c = jnp.maximum(P_incl, cut_val)
         ac = jnp.where(cmask, alpha, 0.0)
-        log1c = jnp.where(cmask, log1m, 0.0)
-        T_c = T_in * jnp.exp(cum_c - log1c)
+        # T_c is only consumed through w = ac·T_c (ac = 0 off-cmask), and on
+        # cmask lanes — necessarily before the cut — the clamped exclusive
+        # product equals P_excl, so no per-lane division is needed
+        T_c = T_in * P_excl
         w = ac * T_c
 
         gslot = slot + 1
         lastc = jnp.max(jnp.where(cmask, gslot, 0), axis=0, keepdims=True)
-        T_out = T_in * jnp.exp(cum_c[-1:, :])
+        T_out = T_in * P_c[-1:, :]
         out = out_ref[0]
         iout = iout_ref[0]
 
@@ -677,8 +710,15 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
     # The Tst/Ss init must still run (they may be the reverse walk's first
     # visit of their tile); leftovers carry no alpha so the carries hold.
     real = cr_ref[j] < n_chunks
+    # whole-chunk skip mirroring the forward's early termination: chunks whose
+    # every slot lies beyond the tile's deepest contributor (gslot > max
+    # n_contrib) have cmask ≡ false — zero grads and unchanged carries — so
+    # skipping them is exact. This is where the back-to-front walk spends
+    # most of its steps on saturated tiles.
+    max_nc = jnp.max(iout_ref[0, 0:1])
+    beyond = cr_ref[j] * chunk >= max_nc
 
-    @pl.when((tt >= num_tiles) | ~real)
+    @pl.when((tt >= num_tiles) | ~real | beyond)
     def _skip():
         dout_ref[...] = jnp.zeros_like(dout_ref)
 
@@ -687,7 +727,7 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         Tst[0:1] = sv_ref[0, 0:1]
         Ss[...] = jnp.zeros_like(Ss)
 
-    @pl.when(real & (tt < num_tiles))
+    @pl.when(real & (tt < num_tiles) & ~beyond)
     def _work():
         ty = (tt // grid_x).astype(jnp.float32)
         tx = (tt % grid_x).astype(jnp.float32)
@@ -713,11 +753,14 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
 
         cmask = g["m"] & (gslot <= n_contrib)
         ac = jnp.where(cmask, alpha, 0.0)
-        log1c = jnp.log(1.0 - ac)
-        cum_in = _cumsum_incl(log1c)
+        oc = 1.0 - ac
+        # direct multiplicative scan (see _fwd_kernel_aligned): P_in[-1] is
+        # the chunk's transmittance factor, bounded below by the forward's
+        # 1e-4 cut, so the single-row division cannot blow up
+        P_in = _cumprod_incl(oc)
         T_exit = Tst[0:1]
-        T_entry = T_exit * jnp.exp(-cum_in[-1:, :])
-        T_i = T_entry * jnp.exp(cum_in - log1c)
+        T_entry = T_exit / P_in[-1:, :]
+        T_i = T_entry * _shift_down_one(P_in)
         w = ac * T_i
 
         if extras_only:

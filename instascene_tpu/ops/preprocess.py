@@ -140,13 +140,21 @@ def preprocess_gaussians(
     radius = jnp.ceil(jnp.maximum(jnp.maximum(ext_x, ext_y),
                                   CUTOFF * FILTER_SIZE))
 
-    # tile rect (auxiliary.h:68-78)
+    # tile rect. The reference uses a SQUARE of the max extent
+    # (auxiliary.h:68-78 getRect with scalar max_radius); we use the tight
+    # per-axis AABB of the 3σ ellipse instead — strictly fewer (gaussian,
+    # tile) pairs for anisotropic surfels at identical visible output (tiles
+    # outside the tight box see only G < e^{-9/2} corner contributions the
+    # square box happened to include). The low-pass filter footprint
+    # (CUTOFF·FILTER_SIZE px) stays a lower bound per axis.
+    rx = jnp.ceil(jnp.maximum(ext_x, CUTOFF * FILTER_SIZE))
+    ry = jnp.ceil(jnp.maximum(ext_y, CUTOFF * FILTER_SIZE))
     grid_x = (width + tile - 1) // tile
     grid_y = (height + tile - 1) // tile
-    rmin_x = jnp.clip(jnp.floor((xy[:, 0] - radius) / tile), 0, grid_x)
-    rmin_y = jnp.clip(jnp.floor((xy[:, 1] - radius) / tile), 0, grid_y)
-    rmax_x = jnp.clip(jnp.floor((xy[:, 0] + radius + tile - 1) / tile), 0, grid_x)
-    rmax_y = jnp.clip(jnp.floor((xy[:, 1] + radius + tile - 1) / tile), 0, grid_y)
+    rmin_x = jnp.clip(jnp.floor((xy[:, 0] - rx) / tile), 0, grid_x)
+    rmin_y = jnp.clip(jnp.floor((xy[:, 1] - ry) / tile), 0, grid_y)
+    rmax_x = jnp.clip(jnp.floor((xy[:, 0] + rx + tile - 1) / tile), 0, grid_x)
+    rmax_y = jnp.clip(jnp.floor((xy[:, 1] + ry + tile - 1) / tile), 0, grid_y)
     rect_min = jnp.stack([rmin_x, rmin_y], axis=-1).astype(jnp.int32)
     rect_max = jnp.stack([rmax_x, rmax_y], axis=-1).astype(jnp.int32)
     tiles = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])

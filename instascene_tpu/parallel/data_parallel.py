@@ -22,11 +22,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..losses import photometric_loss
 from ..models.densify import add_densification_stats
 from ..models.optimizer import adam_step
 from ..ops.rasterize import CameraMats, RasterizeConfig, densify_screen_grad
-from ..pipelines.train import render_for_training
 
 LR_ORDER = ("xyz", "features_dc", "features_rest", "opacity", "scaling",
             "rotation", "seg_feature")
@@ -48,34 +46,41 @@ def lrs_vector(lrs: Dict[str, float]) -> jnp.ndarray:
 
 
 def build_dp_train_step(cfg: RasterizeConfig, tanfovx: float, tanfovy: float,
-                        depth_ratio: float, mesh: Mesh, lambda_dssim: float
-                        = 0.2, lambda_normal: float = 0.05,
-                        lambda_dist: float = 0.0):
-    """Jitted DP train step over `mesh` ('data' axis).
+                        depth_ratio: float, mesh: Mesh,
+                        has_normal_prior: bool = False):
+    """Jitted DP geometry train step over `mesh` ('data' axis), full parity
+    with pipelines.train.train_step: complete loss structure (photo + dist +
+    normal consistency + optional mono-normal prior via geometry_loss_fn),
+    per-step λ schedule values as traced args, densify stats, and the same
+    metrics dict. One camera per chip; gradients/loss pmean over ICI,
+    visibility/radii pmax, replicated Adam.
 
     Call as fn(params, opt_state, stats, w2v[B,4,4], full_proj[B,4,4],
-    campos[B,3], c2w_rot[B,3,3], gt_image[B,H,W,3], bg[3], lrs_vec[7])
-    with B == mesh size. Returns (params, opt_state, stats, loss)."""
+    campos[B,3], c2w_rot[B,3,3], gt_image[B,H,W,3], normal_prior[B,H,W,3],
+    normal_mask[B,H,W], bg[3], lrs_vec[7], lambda_dssim, lambda_dist,
+    lambda_normal, lambda_normal_prior) with B == mesh size.
+    Returns (params, opt_state, stats, metrics)."""
     from jax.experimental.shard_map import shard_map
 
+    from ..pipelines.train import geometry_loss_fn
+
     def per_device(params, opt_state, stats, w2v, full_proj, campos, c2w_rot,
-                   gt_image, bg, lrs_vec):
+                   gt_image, normal_prior, normal_mask, bg, lrs_vec,
+                   lambda_dssim, lambda_dist, lambda_normal,
+                   lambda_normal_prior):
         cam = CameraMats(w2v[0], full_proj[0], campos[0])
         t0 = jnp.zeros((params.capacity, 3, 3), jnp.float32)
 
         def loss_fn(p, t_offset):
-            out, rend_normal, surf_normal, _alpha, _ = render_for_training(
-                p, cam, bg, cfg, t_offset, c2w_rot[0], tanfovx, tanfovy,
-                depth_ratio)
-            photo, _ = photometric_loss(out.blend.color, gt_image[0],
-                                        lambda_dssim)
-            normal_err = jnp.mean(1.0 - jnp.sum(rend_normal * surf_normal,
-                                                axis=-1))
-            loss = (photo + lambda_normal * normal_err
-                    + lambda_dist * jnp.mean(out.blend.distortion))
-            return loss, out
+            return geometry_loss_fn(
+                p, t_offset, cam, bg, cfg, c2w_rot[0], tanfovx, tanfovy,
+                depth_ratio, gt_image[0],
+                normal_prior[0] if has_normal_prior else normal_prior,
+                normal_mask[0] if has_normal_prior else normal_mask,
+                lambda_dssim, lambda_dist, lambda_normal,
+                lambda_normal_prior, has_normal_prior)
 
-        (loss, out), (grads, t_grad) = jax.value_and_grad(
+        (loss, aux), (grads, t_grad) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True, allow_int=True)(params, t0)
         # ICI collectives: one pmean over the camera batch
         grads = jax.tree.map(
@@ -84,75 +89,94 @@ def build_dp_train_step(cfg: RasterizeConfig, tanfovx: float, tanfovy: float,
         loss = jax.lax.pmean(loss, "data")
         t_grad = jax.lax.pmean(t_grad, "data")
 
-        screen_grad = densify_screen_grad(t_grad, out.depth, cfg.width,
+        screen_grad = densify_screen_grad(t_grad, aux["depth"], cfg.width,
                                           cfg.height)
-        visible_any = jax.lax.pmax(out.visible.astype(jnp.int32), "data") > 0
-        radii_max = jax.lax.pmax(out.radii, "data")
+        visible_any = jax.lax.pmax(aux["visible"].astype(jnp.int32),
+                                   "data") > 0
+        radii_max = jax.lax.pmax(aux["radii"], "data")
         stats = add_densification_stats(stats, screen_grad, visible_any,
                                         radii_max)
         lrs = dict(zip(LR_ORDER, [lrs_vec[i] for i in range(len(LR_ORDER))]))
         params, opt_state = adam_step(params, grads, opt_state, lrs)
-        return params, opt_state, stats, loss
+        metrics = {"loss": loss,
+                   "ll1": jax.lax.pmean(aux["ll1"], "data"),
+                   "dist": jax.lax.pmean(aux["dist"], "data"),
+                   "normal": jax.lax.pmean(aux["normal"], "data"),
+                   "n_dropped": jax.lax.pmax(aux["n_dropped"], "data"),
+                   "total_pairs": jax.lax.pmax(aux["total_pairs"], "data")}
+        return params, opt_state, stats, metrics
 
     rep = P()
     bat = P("data")
     fn = shard_map(per_device, mesh=mesh,
-                   in_specs=(rep, rep, rep, bat, bat, bat, bat, bat, rep, rep),
+                   in_specs=(rep, rep, rep, bat, bat, bat, bat, bat, bat, bat,
+                             rep, rep, rep, rep, rep, rep),
                    out_specs=(rep, rep, rep, rep),
                    check_rep=False)
     return jax.jit(fn)
 
 def build_dp_semantic_step(cfg: RasterizeConfig, mesh: Mesh,
                            batch: int = 1024, max_labels: int = 64,
-                           lam_sv: float = 1e-6, lam_3d: float = 2.5e-6):
-    """Jitted DP semantic (contrastive) step over `mesh` ('data' axis).
-
-    Each chip renders + samples its own camera view of the shared gaussian
-    features; feature gradients are pmean'd over ICI before the replicated
-    (seg_feature-only) Adam step — multiplying the per-step supervision by
-    the mesh size vs the reference's single-view step.
+                           lam_sv: float = 1e-6, lam_3d: float = 2.5e-6,
+                           consider_negative: bool = False,
+                           has_class_feat: bool = False,
+                           has_csums: bool = False,
+                           has_cached_binning: bool = False,
+                           cb_len: int = 6):
+    """Jitted DP semantic (contrastive) step over `mesh` ('data' axis), full
+    single-chip loss parity via train_semantic.single_view_and_3d_losses:
+    single-view ProtoNCE on BOTH segmap types (raw 0.5 / sorted 1.0 weights,
+    consider_negative, class_feat prototypes) + 3D ProtoNCE, per-camera
+    cached binning and sampling prefix sums. The reference's every-10th-iter
+    multi-view loss is intentionally not distributed: a B-camera DP step
+    already mixes B views' gradients each step; the trainer can still run
+    the single-chip multi-view step on those iterations.
 
     Call as fn(params, opt_state, key[B,2], w2v[B,4,4], full_proj[B,4,4],
-    campos[B,3], segmap[B,H,W], seg3d_labels[N], bg[3], lr) with
-    B == mesh size; returns (params, opt_state, loss)."""
+    campos[B,3], segmap[B,H,W], sorted_segmap[B,H,W], seg3d_labels[N],
+    class_feat[L,F], bg[3], lr, cached_binning (stacked bundle or None),
+    seg_csum[B,HW], sorted_csum[B,HW], vis3d_csum[B,N]) with B == mesh size;
+    returns (params, opt_state, loss)."""
     from jax.experimental.shard_map import shard_map
 
-    from ..models.optimizer import TRAINABLE_FIELDS
-    from ..pipelines.train_semantic import render_features
-    from ..semantic.contrastive import contrastive_loss, sample_valid_pixels
+    from ..pipelines.train_semantic import (render_features,
+                                            single_view_and_3d_losses)
 
     def per_device(params, opt_state, key, w2v, full_proj, campos, segmap,
-                   seg3d_labels, bg, lr):
+                   sorted_segmap, seg3d_labels, class_feat, bg, lr,
+                   cached_binning, seg_csum, sorted_csum, vis3d_csum):
         cam = CameraMats(w2v[0], full_proj[0], campos[0])
+        cf = class_feat if has_class_feat else None
+        cb = (tuple(a[0] for a in cached_binning)
+              if has_cached_binning else None)
 
         def loss_fn(feat):
-            out = render_features(params, cam, bg, cfg, feat)
-            featmap = out.blend.extra.reshape(-1, feat.shape[1])
-            labels = segmap[0].reshape(-1)
-            k1, k2 = jax.random.split(key[0])
-            idx, any_valid = sample_valid_pixels(k1, labels > 0, batch)
-            sv = contrastive_loss(featmap[idx], labels[idx], max_labels)
-            fn_ = feat / (jnp.linalg.norm(feat, axis=1, keepdims=True) + 1e-6)
-            v3 = out.visible & (seg3d_labels > 0)
-            idx3, any3 = sample_valid_pixels(k2, v3, batch)
-            l3 = contrastive_loss(fn_[idx3], seg3d_labels[idx3], max_labels)
-            return (jnp.where(any_valid, sv, 0.0) * lam_sv
-                    + jnp.where(any3, l3, 0.0) * lam_3d)
+            out = render_features(params, cam, bg, cfg, feat, cb)
+            return single_view_and_3d_losses(
+                params, feat, out, key[0], segmap[0], sorted_segmap[0],
+                seg3d_labels, cf, lam_sv, lam_3d, batch, max_labels,
+                consider_negative, has_csums,
+                seg_csum[0] if has_csums else None,
+                sorted_csum[0] if has_csums else None,
+                vis3d_csum[0] if has_csums else None)
 
         loss, g = jax.value_and_grad(loss_fn)(params.seg_feature)
         g = jax.lax.pmean(g, "data")
         loss = jax.lax.pmean(loss, "data")
-        lrs = {f: 0.0 for f in TRAINABLE_FIELDS} | {"seg_feature": lr}
         params, opt_state = adam_step(
-            params, params.replace(seg_feature=g), opt_state, lrs,
+            params, params.replace(seg_feature=g), opt_state,
+            {"seg_feature": lr},
             frozen_fields=("xyz", "features_dc", "features_rest", "scaling",
                            "rotation", "opacity"))
         return params, opt_state, loss
 
     rep = P()
     bat = P("data")
+    cb_spec = (tuple(P("data") for _ in range(cb_len)) if has_cached_binning
+               else rep)
     fn = shard_map(per_device, mesh=mesh,
-                   in_specs=(rep, rep, bat, bat, bat, bat, bat, rep, rep, rep),
+                   in_specs=(rep, rep, bat, bat, bat, bat, bat, bat, rep,
+                             rep, rep, rep, cb_spec, bat, bat, bat),
                    out_specs=(rep, rep, rep),
                    check_rep=False)
     return jax.jit(fn)

@@ -71,6 +71,37 @@ def render_for_training(params: GaussianParams, cam: CameraMats, bg,
     return out, rend_normal, surf_normal, alpha, surf_depth
 
 
+def geometry_loss_fn(p, t_offset, cam: CameraMats, bg, cfg, c2w_rot,
+                     tanfovx, tanfovy, depth_ratio, gt_image,
+                     normal_prior, normal_mask,
+                     lambda_dssim, lambda_dist, lambda_normal,
+                     lambda_normal_prior, has_normal_prior: bool):
+    """The full geometry training loss (reference train.py:71-103): photo
+    (L1+SSIM) + depth-distortion + normal-consistency + optional mono-normal
+    prior. Shared verbatim by the single-chip train_step and the DP step."""
+    out, rend_normal, surf_normal, alpha, _ = render_for_training(
+        p, cam, bg, cfg, t_offset, c2w_rot, tanfovx, tanfovy, depth_ratio)
+    image = out.blend.color
+    photo, ll1 = photometric_loss(image, gt_image, lambda_dssim)
+    dist_loss = lambda_dist * jnp.mean(out.blend.distortion)
+    normal_error = jnp.mean(1.0 - jnp.sum(rend_normal * surf_normal,
+                                          axis=-1))
+    normal_loss = lambda_normal * normal_error
+    if has_normal_prior:
+        prior = normal_prior * jax.lax.stop_gradient(alpha)
+        dots = 1.0 - jnp.sum(prior * rend_normal, axis=-1)
+        msum = jnp.maximum(jnp.sum(normal_mask), 1.0)
+        prior_err = jnp.sum(dots * normal_mask) / msum
+        normal_loss = normal_loss + lambda_normal_prior * prior_err
+    total = photo + dist_loss + normal_loss
+    aux = {"ll1": ll1, "photo": photo, "dist": dist_loss,
+           "normal": normal_loss, "radii": out.radii,
+           "visible": out.visible, "depth": out.depth,
+           "n_dropped": out.n_dropped, "image": image,
+           "total_pairs": out.total_pairs}
+    return total, aux
+
+
 @partial(jax.jit, static_argnames=("cfg", "tanfovx", "tanfovy", "depth_ratio",
                                    "has_normal_prior"))
 def train_step(params: GaussianParams, opt_state: AdamState,
@@ -83,27 +114,10 @@ def train_step(params: GaussianParams, opt_state: AdamState,
     t0 = jnp.zeros((params.capacity, 3, 3), jnp.float32)
 
     def loss_fn(p, t_offset):
-        out, rend_normal, surf_normal, alpha, _ = render_for_training(
-            p, cam, bg, cfg, t_offset, c2w_rot, tanfovx, tanfovy, depth_ratio)
-        image = out.blend.color
-        photo, ll1 = photometric_loss(image, gt_image, lambda_dssim)
-        dist_loss = lambda_dist * jnp.mean(out.blend.distortion)
-        normal_error = jnp.mean(1.0 - jnp.sum(rend_normal * surf_normal,
-                                              axis=-1))
-        normal_loss = lambda_normal * normal_error
-        if has_normal_prior:
-            prior = normal_prior * jax.lax.stop_gradient(alpha)
-            dots = 1.0 - jnp.sum(prior * rend_normal, axis=-1)
-            msum = jnp.maximum(jnp.sum(normal_mask), 1.0)
-            prior_err = jnp.sum(dots * normal_mask) / msum
-            normal_loss = normal_loss + lambda_normal_prior * prior_err
-        total = photo + dist_loss + normal_loss
-        aux = {"ll1": ll1, "photo": photo, "dist": dist_loss,
-               "normal": normal_loss, "radii": out.radii,
-               "visible": out.visible, "depth": out.depth,
-               "n_dropped": out.n_dropped, "image": image,
-               "total_pairs": out.total_pairs}
-        return total, aux
+        return geometry_loss_fn(
+            p, t_offset, cam, bg, cfg, c2w_rot, tanfovx, tanfovy, depth_ratio,
+            gt_image, normal_prior, normal_mask, lambda_dssim, lambda_dist,
+            lambda_normal, lambda_normal_prior, has_normal_prior)
 
     # allow_int: the params pytree carries the bool `alive` mask (grad ignored)
     (loss, aux), (grads, t_grad) = jax.value_and_grad(
@@ -134,7 +148,7 @@ def eval_step(params: GaussianParams, w2v, full_proj, campos, c2w_rot,
     return {"l1": l1_loss(img, gt), "psnr": psnr(img, gt), "image": img,
             "surf_depth": surf_depth, "rend_normal": rend_normal,
             "surf_normal": surf_normal, "rend_alpha": alpha,
-            "rend_dist": out.blend.distortion}
+            "rend_dist": out.blend.distortion, "gt": gt}
 
 
 @dataclass
@@ -167,7 +181,7 @@ class GeometryTrainer:
 
     def __init__(self, dataset, opt, pipe, scene, seed: int = 0,
                  capacity_multiplier: float = 4.0,
-                 rasterize_opts: Optional[dict] = None):
+                 rasterize_opts: Optional[dict] = None, dp: int = 0):
         self.opt = opt
         self.pipe = pipe
         self.dataset = dataset
@@ -203,6 +217,19 @@ class GeometryTrainer:
         self.ema = {"loss": 0.0, "dist": 0.0, "normal": 0.0}
         self._pair_cap = 0
         self._pair_hiwater = 0
+        # camera-batch data parallelism: `dp` chips render one camera each,
+        # gradients pmean over ICI (the TPU-native scaling capability the
+        # single-GPU reference lacks; SURVEY.md §2.3)
+        self.dp = int(dp)
+        self._dp_step = None
+        self._dp_key = None
+        if self.dp:
+            from ..parallel.data_parallel import make_mesh
+            sizes = {(int(c.width), int(c.height)) for c in self.cam_objs}
+            if len(sizes) != 1:
+                raise ValueError(
+                    f"--dp requires a uniform camera resolution; got {sizes}")
+            self.mesh = make_mesh(self.dp)
 
     def _cfg(self, cam: Camera) -> RasterizeConfig:
         opts = dict(self.rasterize_opts)
@@ -228,34 +255,76 @@ class GeometryTrainer:
             if cap < default:
                 self._pair_cap = cap
 
-    def step(self, iteration: int, cam_idx: Optional[int] = None) -> dict:
+    def _pop_cam(self) -> int:
+        if not getattr(self, "_stack", None):
+            self._stack = list(range(len(self.cams)))
+        return self._stack.pop(self.rng.randint(0, len(self._stack) - 1))
+
+    def _dp_run(self, iteration: int) -> dict:
+        """One DP iteration: `dp` cameras, one per chip, pmean'd gradients."""
+        from ..parallel.data_parallel import build_dp_train_step, lrs_vector
         opt = self.opt
-        if cam_idx is None:
-            if not getattr(self, "_stack", None):
-                self._stack = list(range(len(self.cams)))
-            cam_idx = self._stack.pop(self.rng.randint(0, len(self._stack) - 1))
-        ct = self.cams[cam_idx]
-        cam_obj = self.cam_objs[cam_idx]
-
-        if iteration % 1000 == 0:
-            self.params = self.params.one_up_sh_degree()
-
+        idxs = [self._pop_cam() for _ in range(self.dp)]
+        cts = [self.cams[i] for i in idxs]
+        has_prior = all(ct.normal_prior is not None for ct in cts)
+        cfg = self._cfg(self.cam_objs[idxs[0]])
+        key = (cfg, has_prior)
+        if self._dp_step is None or self._dp_key != key:
+            ct0 = cts[0]
+            self._dp_step = build_dp_train_step(
+                cfg, ct0.tanfovx, ct0.tanfovy, float(self.pipe.depth_ratio),
+                self.mesh, has_normal_prior=has_prior)
+            self._dp_key = key
         lrs = geometry_lrs(opt, self.spatial_lr_scale,
                            self.xyz_sched(iteration))
         lam_normal = opt.lambda_normal if iteration > 7000 else 0.0
         lam_dist = opt.lambda_dist if iteration > 3000 else 0.0
         lam_prior = opt.lambda_normal_prior if iteration > 7000 else 0.0
-        has_prior = ct.normal_prior is not None
-
-        cfg = self._cfg(cam_obj)
-        self.params, self.opt_state, self.stats, metrics = train_step(
+        stackf = lambda f: jnp.stack([f(ct) for ct in cts])
+        np_ = (stackf(lambda ct: ct.normal_prior) if has_prior
+               else jnp.zeros((self.dp, 1, 1, 1)))
+        nm_ = (stackf(lambda ct: ct.normal_mask) if has_prior
+               else jnp.zeros((self.dp, 1, 1)))
+        (self.params, self.opt_state, self.stats,
+         metrics) = self._dp_step(
             self.params, self.opt_state, self.stats,
-            ct.w2v, ct.full_proj, ct.campos, ct.c2w_rot, ct.gt_image,
-            ct.normal_prior if has_prior else jnp.zeros(1),
-            ct.normal_mask if has_prior else jnp.zeros(1),
-            self.bg, lrs, opt.lambda_dssim, lam_dist, lam_normal, lam_prior,
-            cfg, ct.tanfovx, ct.tanfovy, float(self.pipe.depth_ratio),
-            has_prior)
+            stackf(lambda ct: ct.w2v), stackf(lambda ct: ct.full_proj),
+            stackf(lambda ct: ct.campos), stackf(lambda ct: ct.c2w_rot),
+            stackf(lambda ct: ct.gt_image), np_, nm_, self.bg,
+            lrs_vector(lrs), jnp.float32(opt.lambda_dssim),
+            jnp.float32(lam_dist), jnp.float32(lam_normal),
+            jnp.float32(lam_prior))
+        return metrics
+
+    def step(self, iteration: int, cam_idx: Optional[int] = None) -> dict:
+        opt = self.opt
+        if iteration % 1000 == 0:
+            self.params = self.params.one_up_sh_degree()
+
+        if self.dp and cam_idx is None:
+            metrics = self._dp_run(iteration)
+        else:
+            if cam_idx is None:
+                cam_idx = self._pop_cam()
+            ct = self.cams[cam_idx]
+            cam_obj = self.cam_objs[cam_idx]
+
+            lrs = geometry_lrs(opt, self.spatial_lr_scale,
+                               self.xyz_sched(iteration))
+            lam_normal = opt.lambda_normal if iteration > 7000 else 0.0
+            lam_dist = opt.lambda_dist if iteration > 3000 else 0.0
+            lam_prior = opt.lambda_normal_prior if iteration > 7000 else 0.0
+            has_prior = ct.normal_prior is not None
+
+            cfg = self._cfg(cam_obj)
+            self.params, self.opt_state, self.stats, metrics = train_step(
+                self.params, self.opt_state, self.stats,
+                ct.w2v, ct.full_proj, ct.campos, ct.c2w_rot, ct.gt_image,
+                ct.normal_prior if has_prior else jnp.zeros(1),
+                ct.normal_mask if has_prior else jnp.zeros(1),
+                self.bg, lrs, opt.lambda_dssim, lam_dist, lam_normal,
+                lam_prior, cfg, ct.tanfovx, ct.tanfovy,
+                float(self.pipe.depth_ratio), has_prior)
 
         if iteration % 50 == 1:
             self._adapt_caps(metrics)
@@ -369,9 +438,8 @@ class GeometryTrainer:
                     "normal": f"{self.ema['normal']:.5f}",
                     "Points": int(self.params.n_alive())})
             if it in test_iterations:
-                ev = self.evaluate(list(range(0, min(len(self.cams), 25), 5)))
-                print(f"\n[ITER {it}] Evaluating train: "
-                      f"L1 {ev['l1']:.4f} PSNR {ev['psnr']:.2f}")
+                self.training_report(
+                    None, it, is_first_test_iter=it == min(test_iterations))
             if it in save_iterations:
                 self.save(it)
         return self

@@ -49,6 +49,56 @@ def render_features(params: gmod.GaussianParams, cam: CameraMats, bg,
                      alive=params.alive, cached_binning=cached_binning)
 
 
+def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
+                              sorted_segmap, seg3d_labels, cf, lam_sv,
+                              lam_3d, batch, max_labels,
+                              consider_negative: bool, has_csums: bool,
+                              seg_csum, sorted_csum, vis3d_csum):
+    """Single-view ProtoNCE on [raw/filtered, sorted] segmaps + 3D ProtoNCE
+    over visible gaussians (reference train_semantic.py:108-141, :175-195).
+    `out` is the camera's feature render. Shared by the single-chip step and
+    the per-device body of the DP step."""
+    featmap = out.blend.extra.reshape(-1, seg_feature.shape[1])
+    total = 0.0
+    seg_list = ([(segmap, 0)] if cf is None
+                else [(segmap, 0), (sorted_segmap, 1)])
+    k = key
+    for seg, mask_type in seg_list:
+        labels_flat = seg.reshape(-1)
+        neg = consider_negative and mask_type == 0
+        k, sub = jax.random.split(k)
+        if neg:
+            # every pixel valid — plain uniform indices
+            idx = jax.random.randint(sub, (batch,), 0, labels_flat.shape[0])
+            any_valid = jnp.bool_(True)
+        elif has_csums:
+            idx, any_valid = sample_from_csum(
+                sub, seg_csum if mask_type == 0 else sorted_csum, batch)
+        else:
+            idx, any_valid = sample_valid_pixels(sub, labels_flat > 0, batch)
+        f = featmap[idx]
+        l = labels_flat[idx]
+        weight = 1.0 if mask_type == 1 else 0.5
+        cl = contrastive_loss(f, l, max_labels,
+                              predef_u=cf if mask_type == 1 else None,
+                              consider_negative=neg)
+        total = total + jnp.where(any_valid, cl, 0.0) * lam_sv * weight
+
+    # 3D over visible gaussians (:175-195)
+    feat_norm = seg_feature / (jnp.linalg.norm(
+        seg_feature, axis=1, keepdims=True) + 1e-6)
+    k, sub = jax.random.split(k)
+    if has_csums:
+        idx, any_valid = sample_from_csum(sub, vis3d_csum, batch)
+    else:
+        idx, any_valid = sample_valid_pixels(
+            sub, out.visible & (seg3d_labels > 0), batch)
+    cl = contrastive_loss(feat_norm[idx], seg3d_labels[idx], max_labels,
+                          predef_u=cf)
+    total = total + jnp.where(any_valid, cl, 0.0) * lam_3d
+    return total
+
+
 @partial(jax.jit, static_argnames=("cfg", "batch", "max_labels",
                                    "consider_negative", "has_class_feat",
                                    "do_multiview", "n_mv", "has_csums"))
@@ -69,36 +119,11 @@ def semantic_train_step(params, opt_state, key,
     def loss_fn(seg_feature):
         out = render_features(params, cam, bg, cfg, seg_feature,
                               cached_binning)
-        featmap = out.blend.extra.reshape(-1, seg_feature.shape[1])
-        total = 0.0
-
-        # single-view over [raw/filtered segmap, sorted segmap] (:108-141)
-        seg_list = ([(segmap, 0)] if not has_class_feat
-                    else [(segmap, 0), (sorted_segmap, 1)])
-        k = key
-        for seg, mask_type in seg_list:
-            labels_flat = seg.reshape(-1)
-            neg = consider_negative and mask_type == 0
-            k, sub = jax.random.split(k)
-            if neg:
-                # every pixel valid — plain uniform indices
-                idx = jax.random.randint(sub, (batch,), 0,
-                                         labels_flat.shape[0])
-                any_valid = jnp.bool_(True)
-            elif has_csums:
-                idx, any_valid = sample_from_csum(
-                    sub, seg_csum if mask_type == 0 else sorted_csum, batch)
-            else:
-                idx, any_valid = sample_valid_pixels(
-                    sub, labels_flat > 0, batch)
-            f = featmap[idx]
-            l = labels_flat[idx]
-            weight = 1.0 if mask_type == 1 else 0.5
-            cl = contrastive_loss(
-                f, l, max_labels,
-                predef_u=cf if mask_type == 1 else None,
-                consider_negative=neg)
-            total = total + jnp.where(any_valid, cl, 0.0) * lam_sv * weight
+        k, k_sv = jax.random.split(key)
+        total = single_view_and_3d_losses(
+            params, seg_feature, out, k_sv, segmap, sorted_segmap,
+            seg3d_labels, cf, lam_sv, lam_3d, batch, max_labels,
+            consider_negative, has_csums, seg_csum, sorted_csum, vis3d_csum)
 
         # multi-view over n_mv consecutive views every 10th iter (:145-172)
         if do_multiview:
@@ -116,21 +141,6 @@ def semantic_train_step(params, opt_state, key,
             cl = contrastive_loss(feats_mv[idx], labels_mv[idx], max_labels,
                                   predef_u=cf)
             total = total + jnp.where(any_valid, cl, 0.0) * lam_mv
-
-        # 3D over visible gaussians (:175-195). Visibility is a pure
-        # function of the frozen geometry + camera, so its prefix sum is
-        # per-camera cacheable.
-        feat_norm = seg_feature / (jnp.linalg.norm(
-            seg_feature, axis=1, keepdims=True) + 1e-6)
-        k, sub = jax.random.split(k)
-        if has_csums:
-            idx, any_valid = sample_from_csum(sub, vis3d_csum, batch)
-        else:
-            idx, any_valid = sample_valid_pixels(
-                sub, out.visible & (seg3d_labels > 0), batch)
-        cl = contrastive_loss(feat_norm[idx], seg3d_labels[idx], max_labels,
-                              predef_u=cf)
-        total = total + jnp.where(any_valid, cl, 0.0) * lam_3d
         return total
 
     loss, g = jax.value_and_grad(loss_fn)(params.seg_feature)
@@ -145,10 +155,12 @@ def semantic_train_step(params, opt_state, key,
 class SegSplatting:
     """Reference train_semantic.py SegSplatting parity."""
 
-    def __init__(self, dataset, opt, pipe, output_root: str = "output"):
+    def __init__(self, dataset, opt, pipe, output_root: str = "output",
+                 dp: int = 0):
         self.dataset = dataset
         self.opt = opt
         self.pipe = pipe
+        self.dp = int(dp)
         self.data_dir = dataset.source_path
         sp = self.data_dir.rstrip("/").split("/")
         self.model_path = os.path.join(
@@ -173,6 +185,7 @@ class SegSplatting:
                                    self.model_path))) or "output")
         self.cam_objs = self.scene.get_train_cameras()
         self.cams = [camera_tensors(c) for c in self.cam_objs]
+        self._max_labels_memo = None  # label space may change with segmaps
 
     def robust_semantic_priors(self):
         """Stage 1 (train_semantic.py:33-72)."""
@@ -310,6 +323,11 @@ class SegSplatting:
         return self.sampling_csums
 
     def _max_labels(self) -> int:
+        # memoized: the label space is fixed once the (re)loaded segmaps and
+        # 3D priors exist — no need to rescan every image per training run
+        cached = getattr(self, "_max_labels_memo", None)
+        if cached is not None:
+            return cached
         m = 1
         for c in self.cam_objs:
             if c.segmap is not None:
@@ -317,7 +335,81 @@ class SegSplatting:
             if c.sorted_segmap is not None:
                 m = max(m, int(c.sorted_segmap.max()))
         m = max(m, int(self.seg3d_labels.max()) + 1)
-        return int((m + 7) // 8 * 8)
+        self._max_labels_memo = int((m + 7) // 8 * 8)
+        return self._max_labels_memo
+
+    def _train_segfeat_dp(self, iterations: int, opt_state, max_labels: int,
+                          progress: bool, save_every: int):
+        """DP contrastive loop: `dp` cameras per step (one per chip), full
+        single-view + 3D loss structure, pmean'd feature gradients. The
+        every-10th-iter multi-view loss is not distributed — each DP step
+        already mixes `dp` views' gradients (see build_dp_semantic_step)."""
+        from tqdm import tqdm
+
+        from ..parallel.data_parallel import (build_dp_semantic_step,
+                                              make_mesh)
+        opt = self.opt
+        mesh = make_mesh(self.dp)
+        sizes = {(int(c.width), int(c.height)) for c in self.cam_objs}
+        if len(sizes) != 1:
+            raise ValueError(f"--dp requires uniform camera resolution; "
+                             f"got {sizes}")
+        width, height = sizes.pop()
+        cfg = RasterizeConfig(
+            width=width, height=height, bwd_extras_only=True,
+            impl=getattr(self.pipe, "rasterizer_impl", "auto"))
+        seg_cs, sorted_cs, vis_cs = self.sampling_csums
+        has_cf = self.class_feat is not None
+        cf = (jnp.asarray(np.pad(self.class_feat,
+                                 ((0, max(0, max_labels
+                                          - len(self.class_feat))), (0, 0))))
+              if has_cf else jnp.zeros((max_labels,
+                                        self.dataset.seg_feat_dim)))
+        step = build_dp_semantic_step(
+            cfg, mesh, batch=int(opt.sample_batchsize),
+            max_labels=max_labels, lam_sv=opt.lambda_singview_contras,
+            lam_3d=opt.lambda_3D_contras,
+            consider_negative=bool(opt.consider_negative_labels),
+            has_class_feat=has_cf, has_csums=True, has_cached_binning=True,
+            cb_len=len(self.binning_cache[0]))
+        lr = jnp.float32(semantic_lrs(opt)["seg_feature"])
+        zeros_map = jnp.zeros((height, width), jnp.int32)
+
+        def seg_of(v, sorted_=False):
+            c = self.cam_objs[v]
+            m = c.sorted_segmap if sorted_ else c.segmap
+            return jnp.asarray(m) if m is not None else zeros_map
+
+        stack = []
+        bar = tqdm(range(1, iterations + 1), desc="Contrastive(DP)",
+                   disable=not progress)
+        for it in bar:
+            idxs = []
+            for _ in range(self.dp):
+                if not stack:
+                    stack = list(range(len(self.cams)))
+                idxs.append(stack.pop(self.rng.randint(0, len(stack) - 1)))
+            cts = [self.cams[v] for v in idxs]
+            self.key, *subs = jax.random.split(self.key, self.dp + 1)
+            cb = tuple(jnp.stack([self.binning_cache[v][f] for v in idxs])
+                       for f in range(len(self.binning_cache[0])))
+            self.params, opt_state, loss = step(
+                self.params, opt_state, jnp.stack(subs),
+                jnp.stack([ct.w2v for ct in cts]),
+                jnp.stack([ct.full_proj for ct in cts]),
+                jnp.stack([ct.campos for ct in cts]),
+                jnp.stack([seg_of(v) for v in idxs]),
+                jnp.stack([seg_of(v, True) for v in idxs]),
+                self.seg3d_labels_padded, cf, self.bg, lr, cb,
+                jnp.stack([seg_cs[v] for v in idxs]),
+                jnp.stack([sorted_cs[v] for v in idxs]),
+                jnp.stack([vis_cs[v] for v in idxs]))
+            if it % 10 == 0:
+                bar.set_postfix({"ContraLoss": f"{float(loss):.3f}"})
+            if it % save_every == 0 or it == iterations:
+                self.save(it)
+        self.export_segment_results(iterations, use_hdbscan=True,
+                                    note=f"iteration_{iterations}_hdbscan")
 
     def train_segfeat(self, iterations: Optional[int] = None,
                       progress: bool = True, save_every: int = 2500):
@@ -332,6 +424,9 @@ class SegSplatting:
             self._precompute_binning()
         if not hasattr(self, "sampling_csums"):
             self._precompute_sampling()
+        if self.dp:
+            return self._train_segfeat_dp(iterations, opt_state, max_labels,
+                                          progress, save_every)
         seg_cs, sorted_cs, vis_cs = self.sampling_csums
         n_mv = opt.sample_mv_frames
         has_cf = self.class_feat is not None

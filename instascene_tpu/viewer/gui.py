@@ -155,6 +155,31 @@ class SegmentationEngine:
         self._params_version += 1
         return mask
 
+    def segment_3d_convexhull(self, save_dir: str, seg_id: int = 0,
+                              mode: str = "save"):
+        """Crop by the convex hull of the feature-selected gaussians
+        (gaussian_model.py:643-658): captures interior gaussians the feature
+        threshold missed. Saves the instance PLY + oriented bbox."""
+        mask = self.gaussian_mask()
+        pts = np.asarray(self.params.xyz)[mask]
+        if len(pts) < 4:   # Delaunay needs a non-degenerate 3D set
+            return self.segment_3d(save_dir, seg_id)
+        cropped, bbox = gmod.crop_pts_with_convexhull(
+            self.params, pts, mode="save", return_bbox=True)
+        os.makedirs(save_dir, exist_ok=True)
+        gmod.save_ply(cropped, os.path.join(save_dir,
+                                            f"segment_{seg_id}.ply"),
+                      crop_mask=np.asarray(cropped.alive))
+        np.save(os.path.join(save_dir, f"segment_{seg_id}_bbox.npy"),
+                np.concatenate([bbox[0], bbox[2]]) if bbox else np.zeros(6))
+        if mode == "delete":
+            self.params = gmod.crop_pts_with_convexhull(self.params, pts,
+                                                        mode="delete")
+        else:
+            self.params = cropped
+        self._params_version += 1
+        return np.asarray(cropped.alive)
+
     def delete_3d(self, save_dir: str, seg_id: int = 0):
         mask = self.gaussian_mask()
         os.makedirs(save_dir, exist_ok=True)

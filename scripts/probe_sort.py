@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""TPU probe: variadic sort cost at 1080p pair scale + binning breakdown."""
+"""TPU probe: variadic sort cost at 1080p pair scale (chained, dedup-proof)."""
 
 import os
 import sys
@@ -13,66 +13,82 @@ WARMUP = 10
 ITERS = 15
 
 
-def timed(fn, *args):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    for _ in range(WARMUP):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / ITERS * 1e3
-
-
 def main():
     import jax
     import jax.numpy as jnp
 
     n = 2_249_472
     rng = np.random.default_rng(0)
-    key = jnp.asarray(rng.integers(0, 2**30, n).astype(np.int32))
-    gid = jnp.asarray(rng.integers(0, 300_000, n).astype(np.int32))
+    key0 = jnp.asarray(rng.integers(0, 2**30, n).astype(np.int32))
+    gid0 = jnp.asarray(rng.integers(0, 300_000, n).astype(np.int32))
+
+    def chain_time(step, state):
+        state = step(state)
+        jax.block_until_ready(state)
+        for _ in range(WARMUP):
+            state = step(state)
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            state = step(state)
+        jax.block_until_ready(state)
+        return (time.perf_counter() - t0) / ITERS * 1e3
+
     perm = jnp.arange(n, dtype=jnp.int32)
 
-    s3 = jax.jit(lambda k, g, p: jax.lax.sort((k, g, p), num_keys=1))
-    s2 = jax.jit(lambda k, g: jax.lax.sort((k, g), num_keys=1))
-    s3u = jax.jit(lambda k, g, p: jax.lax.sort((k, g, p), num_keys=1,
-                                               is_stable=False))
-    s2u = jax.jit(lambda k, g: jax.lax.sort((k, g), num_keys=1,
-                                            is_stable=False))
-    print(f"sort3 stable   {timed(s3, key, gid, perm):.1f} ms", flush=True)
-    print(f"sort2 stable   {timed(s2, key, gid):.1f} ms", flush=True)
-    print(f"sort3 unstable {timed(s3u, key, gid, perm):.1f} ms", flush=True)
-    print(f"sort2 unstable {timed(s2u, key, gid):.1f} ms", flush=True)
+    # each step re-scrambles the key from the previous outputs → no dedup
+    @jax.jit
+    def s3(state):
+        k, g = state
+        ks, gs, ps = jax.lax.sort((k, g, perm), num_keys=1)
+        return (ks ^ pltshift(ps), gs)
 
-    # argsort-style: sort key+perm then gather payloads
-    def s_gather(k, g, p):
-        ks, ps = jax.lax.sort((k, p), num_keys=1, is_stable=False)
-        return ks, g[ps], ps
-    print(f"sort2+gather   {timed(jax.jit(s_gather), key, gid, perm):.1f} ms",
-          flush=True)
+    def pltshift(x):
+        return jnp.roll(x, 1) & ((1 << 30) - 1)
 
-    # scatter probe: the aligned_of_orig inverse-permutation scatter
-    a = jnp.zeros(n, jnp.int32)
-    sc = jax.jit(lambda p, v: a.at[p].set(v, mode="drop"))
-    print(f"perm scatter   {timed(sc, gid % n, perm):.1f} ms", flush=True)
+    @jax.jit
+    def s3_stable(state):
+        k, g = state
+        ks, gs, ps = jax.lax.sort((k, g, perm), num_keys=1)
+        return ((ks + jnp.roll(ps, 1)) & ((1 << 30) - 1), gs)
 
-    # gather probe: the [pair_cap, 5] row gather
-    tab = jnp.asarray(rng.random((300_001, 5)).astype(np.float32))
-    ga = jax.jit(lambda t, i: t[i])
-    print(f"row gather 5f  {timed(ga, tab, gid):.1f} ms", flush=True)
+    @jax.jit
+    def s3_unstable(state):
+        k, g = state
+        ks, gs, ps = jax.lax.sort((k, g, perm), num_keys=1, is_stable=False)
+        return ((ks + jnp.roll(ps, 1)) & ((1 << 30) - 1), gs)
 
-    # segment boundaries
-    st = jax.jit(lambda k: jnp.searchsorted(k, jnp.arange(8160, dtype=jnp.int32) * (1 << 18), side="left"))
-    ks = jnp.sort(key)
-    print(f"searchsorted   {timed(st, ks):.1f} ms", flush=True)
+    @jax.jit
+    def s2_stable(state):
+        k, g = state
+        ks, gs = jax.lax.sort((k, g), num_keys=1)
+        return ((ks + jnp.roll(gs, 1)) & ((1 << 30) - 1), gs)
 
-    # cumsum at pair scale
-    cs = jax.jit(lambda x: jnp.cumsum(x))
-    print(f"cumsum 2.25M   {timed(cs, gid):.1f} ms", flush=True)
+    @jax.jit
+    def s2_unstable(state):
+        k, g = state
+        ks, gs = jax.lax.sort((k, g), num_keys=1, is_stable=False)
+        return ((ks + jnp.roll(gs, 1)) & ((1 << 30) - 1), gs)
+
+    @jax.jit
+    def scatter_chain(state):
+        k, g = state
+        out = jnp.zeros(n, jnp.int32).at[k % n].set(g, mode="drop")
+        return ((k + jnp.roll(out, 1)) & ((1 << 30) - 1), g)
+
+    @jax.jit
+    def gather_chain(state):
+        k, g = state
+        out = g[k % n]
+        return ((k + jnp.roll(out, 1)) & ((1 << 30) - 1), g)
+
+    st0 = (key0, gid0)
+    print(f"sort3 stable   {chain_time(s3_stable, st0):.1f} ms", flush=True)
+    print(f"sort3 unstable {chain_time(s3_unstable, st0):.1f} ms", flush=True)
+    print(f"sort2 stable   {chain_time(s2_stable, st0):.1f} ms", flush=True)
+    print(f"sort2 unstable {chain_time(s2_unstable, st0):.1f} ms", flush=True)
+    print(f"scatter 2.25M  {chain_time(scatter_chain, st0):.1f} ms", flush=True)
+    print(f"gather 2.25M   {chain_time(gather_chain, st0):.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

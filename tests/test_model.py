@@ -244,3 +244,41 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert np.allclose(np.asarray(params.xyz), np.asarray(t.params.xyz))
     assert np.allclose(np.asarray(opt.m.xyz), 0.0)
     assert params.active_sh_degree == t.params.active_sh_degree
+
+
+def test_crop_pts_with_convexhull():
+    """Gaussians inside the convex hull of the prompt points are kept
+    (mode='save') or removed (mode='delete'); bbox covers the selection.
+    Parity: reference scene/gaussian_model.py:643-658."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from instascene_tpu.models.gaussians import (GaussianParams,
+                                                 crop_pts_with_convexhull)
+    rng = np.random.default_rng(0)
+    n = 200
+    xyz = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    p = GaussianParams(
+        xyz=jnp.asarray(xyz),
+        features_dc=jnp.zeros((n, 1, 3)), features_rest=jnp.zeros((n, 15, 3)),
+        scaling=jnp.zeros((n, 2)), rotation=jnp.zeros((n, 4)),
+        opacity=jnp.zeros((n, 1)), alive=jnp.ones(n, bool),
+        seg_feature=None, active_sh_degree=0, max_sh_degree=3)
+    # hull = unit cube corners
+    cube = np.array([[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                     for z in (-1, 1)], np.float64)
+    inside_true = (np.abs(xyz) <= 1.0).all(axis=1)
+
+    saved, bbox = crop_pts_with_convexhull(p, cube, mode="save",
+                                           return_bbox=True)
+    assert int(saved.n_alive()) == int(inside_true.sum()) > 0
+    kept = np.asarray(saved.xyz)[np.asarray(saved.alive)]
+    assert (np.abs(kept) <= 1.0 + 1e-5).all()
+    center, rot, extent = bbox
+    assert (extent <= 2.0 + 1e-5).all()
+
+    deleted = crop_pts_with_convexhull(p, cube, mode="delete")
+    assert int(deleted.n_alive()) == n - int(inside_true.sum())
+    left = np.asarray(deleted.xyz)[np.asarray(deleted.alive)]
+    assert (np.abs(left) > 1.0).any(axis=1).all()

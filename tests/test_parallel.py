@@ -74,16 +74,78 @@ def test_dp_semantic_step_8way(rng):
     mesh = make_mesh(n_dev)
     cfg = RasterizeConfig(width=width, height=height, chunk=16,
                           pair_cap=8192, tile_cap=64, bwd_extras_only=True)
-    step = build_dp_semantic_step(cfg, mesh, batch=256, max_labels=16)
+    step = build_dp_semantic_step(cfg, mesh, batch=256, max_labels=16,
+                                  has_class_feat=True,
+                                  consider_negative=True)
     keys = jax.random.split(jax.random.PRNGKey(0), n_dev)
     segmaps = jnp.asarray(rng.integers(0, 8, (n_dev, height, width)
                                        ).astype(np.int32))
     lab3d = jnp.asarray(rng.integers(0, 8, params.capacity).astype(np.int32))
+    cfeat = jnp.asarray(rng.random((16, 8)).astype(np.float32))
+    dummy_b = jnp.zeros((n_dev, 1), jnp.int32)
     w2v = jnp.stack([c.w2v for c in cams])[:n_dev]
     fp = jnp.stack([c.full_proj for c in cams])[:n_dev]
     cp = jnp.stack([c.campos for c in cams])[:n_dev]
     p2, o2, loss = step(params, opt_state, keys, w2v, fp, cp, segmaps,
-                        lab3d, jnp.zeros(3), jnp.float32(2.5e-3))
+                        segmaps, lab3d, cfeat, jnp.zeros(3),
+                        jnp.float32(2.5e-3), jnp.zeros(1),
+                        dummy_b, dummy_b, dummy_b)
     assert np.isfinite(float(loss))
     moved = float(jnp.abs(p2.seg_feature - params.seg_feature).max())
     assert moved > 0
+
+
+def test_dp_geometry_trainer_e2e(tmp_path):
+    """train.py --dp 8 as a product capability: the GeometryTrainer drives
+    the full DP step (complete loss structure, densify/prune + capacity
+    growth under DP) on the 8-CPU mesh and PSNR improves."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scene_builder import build_e2e_scene
+
+    from instascene_tpu.config import (ModelParams, OptimizationParams,
+                                       PipelineParams)
+    from instascene_tpu.data.dataset import Scene
+    from instascene_tpu.pipelines.train import GeometryTrainer
+
+    src = str(tmp_path / "parent" / "scene")
+    build_e2e_scene(src, width=64, height=48, n_cams=8)
+    dataset = ModelParams(source_path=src, sh_degree=3)
+    opt = OptimizationParams(
+        iterations=40, densify_from_iter=10, densification_interval=15,
+        densify_until_iter=40, opacity_reset_interval=10_000,
+        position_lr_max_steps=40)
+    pipe = PipelineParams()
+    scene = Scene(dataset, output_root=str(tmp_path / "out"))
+    tr = GeometryTrainer(dataset, opt, pipe, scene, dp=8,
+                         rasterize_opts={"chunk": 16, "pair_cap": 65536,
+                                         "tile_cap": 256})
+    before = tr.evaluate([0, 2, 4])
+    for it in range(1, 41):
+        m = tr.step(it)
+        assert np.isfinite(float(m["loss"]))
+    after = tr.evaluate([0, 2, 4])
+    # 40 DP iterations = 320 camera-gradient evaluations
+    assert after["psnr"] > before["psnr"] + 2.0, (before, after)
+
+
+def test_dp_cli_flag(tmp_path):
+    """`train.py --dp 8` end-to-end through the CLI entry point."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from scene_builder import build_e2e_scene
+    src = str(tmp_path / "parent" / "scene")
+    build_e2e_scene(src, width=64, height=48, n_cams=8)
+    import train as train_cli
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        train_cli.main(["-s", src, "--iterations", "12", "--dp", "8",
+                        "--test_iterations", "12", "--save_iterations", "12",
+                        "--disable_viewer", "--quiet"])
+    finally:
+        os.chdir(cwd)
+    out = tmp_path / "output" / "parent" / "scene"
+    assert (out / "point_cloud" / "iteration_12" / "point_cloud.ply").exists()

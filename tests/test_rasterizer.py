@@ -318,3 +318,47 @@ def test_densify_grad_hack(scene):
     tg = jax.grad(loss)(t0)
     assert np.isfinite(np.asarray(tg)).all()
     assert np.abs(np.asarray(tg)).max() > 0
+
+
+def test_forward_matches_committed_goldens():
+    """Cross-version regression anchor: both rasterizer impls must reproduce
+    the committed golden forward outputs (generated by tests/make_goldens.py
+    and oracle-validated at generation time). Regenerate ONLY on an
+    intentional semantics change."""
+    import os
+
+    import jax.numpy as jnp
+
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.data.synthetic import look_at
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              rasterize)
+    g = np.load(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "goldens", "forward.npz"))
+    W_, H_ = int(g["W"]), int(g["H"])
+    pos = np.array([0.0, -3.5, 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="g", width=W_, height=H_)
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    for impl in ("xla", "pallas"):
+        cfg = RasterizeConfig(width=W_, height=H_, chunk=16, pair_cap=8192,
+                              tile_cap=256, impl=impl)
+        out = rasterize(jnp.asarray(g["inputs_xyz"]),
+                        jnp.asarray(g["inputs_scales"]),
+                        jnp.asarray(g["inputs_rots"]),
+                        jnp.asarray(g["inputs_opac"]), cm, bg, cfg,
+                        colors=jnp.asarray(g["inputs_color"]),
+                        extras=jnp.asarray(g["inputs_extra"]))
+        b = out.blend
+        for key, got in [("color", b.color), ("depth", b.depth),
+                         ("alpha", b.alpha), ("normal", b.normal),
+                         ("median_depth", b.median_depth),
+                         ("distortion", b.distortion), ("extra", b.extra),
+                         ("final_T", b.final_T)]:
+            np.testing.assert_allclose(
+                np.asarray(got), g[key], atol=2e-5, rtol=1e-4,
+                err_msg=f"{impl}:{key} drifted from golden")
+        assert np.array_equal(np.asarray(b.n_contrib), g["n_contrib"]), impl

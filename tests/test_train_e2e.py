@@ -118,9 +118,75 @@ def test_semantic_pipeline_e2e(e2e_scene, tmp_path):
         (sims_intra if labels[i] == labels[j] else sims_inter).append(s)
     assert np.mean(sims_intra) > np.mean(sims_inter) + 0.1
 
+    # tracked quality number: 3D instance mIoU of the spatial-track priors vs
+    # synthetic ground truth (Hungarian-matched; VERDICT r1 #6). Printed so
+    # the round-over-round value is visible in CI logs.
+    from instascene_tpu.semantic.metrics import instance_miou
+    pred = np.where(m3d.any(axis=1), seg.seg3d_labels + 1, 0)
+    miou = instance_miou(pred, labels, ignore_label=0)
+    print(f"\n[e2e] 3D instance mIoU (priors vs GT): {miou:.3f}")
+    assert miou > 0.5, f"prior instance mIoU regressed: {miou:.3f}"
+
     # mask_sorted / output_dict files written
     assert os.path.exists(os.path.join(src, "sam/mask_sorted"))
     # instance export runs
     seg.export_segment_results(30, use_hdbscan=True, note="test_export")
     out_dir = os.path.join(seg.model_path, "point_cloud", "test_export")
     assert os.path.exists(os.path.join(out_dir, "point_cloud_labels.ply"))
+
+
+def test_eval_split_training_report(e2e_scene, tmp_path, capsys):
+    """--eval every-8th holdout: the trainer must carry a disjoint test split
+    and training_report must evaluate BOTH configs (reference train.py:222-279:
+    'test' = all held-out cameras, 'train' = indices 5,10,..25 mod n)."""
+    src, *_ = e2e_scene
+    dataset = ModelParams(source_path=src, sh_degree=3, eval=True)
+    opt = OptimizationParams(iterations=10, densify_from_iter=1000,
+                             position_lr_max_steps=10)
+    pipe = PipelineParams()
+    from instascene_tpu.data.dataset import Scene
+    from instascene_tpu.pipelines.train import GeometryTrainer
+    scene = Scene(dataset, output_root=str(tmp_path / "out"))
+    n_total = len(scene.scene_info.train_cameras) + len(
+        scene.scene_info.test_cameras)
+    assert len(scene.scene_info.test_cameras) == (n_total + 7) // 8
+    train_names = {c.image_name for c in scene.scene_info.train_cameras}
+    test_names = {c.image_name for c in scene.scene_info.test_cameras}
+    assert not (train_names & test_names)
+
+    tr = GeometryTrainer(dataset, opt, pipe, scene,
+                         rasterize_opts={"chunk": 16, "pair_cap": 65536,
+                                         "tile_cap": 256})
+    assert len(tr.test_cams) == len(scene.scene_info.test_cameras) > 0
+    for it in range(1, 4):
+        tr.step(it)
+    res = tr.training_report(None, 3, is_first_test_iter=True)
+    assert "test" in res and "train" in res
+    assert np.isfinite(res["test"]["psnr"]) and res["test"]["psnr"] > 5.0
+    out = capsys.readouterr().out
+    assert "Evaluating test" in out and "Evaluating train" in out
+
+
+def test_semantic_dp_training(e2e_scene, tmp_path):
+    """train_semantic --dp 8: the DP contrastive loop (full single-view + 3D
+    loss, cached binning, csums) runs on the 8-CPU mesh and separates
+    instance features."""
+    src, _, labels = e2e_scene
+    dataset = ModelParams(source_path=src, use_seg_feature=True,
+                          seg_feat_dim=16)
+    opt = OptimizationParams(iterations=20, sample_batchsize=2048,
+                             gram_feat_3d=True, consider_negative_labels=True)
+    pipe = PipelineParams()
+    from instascene_tpu.pipelines.train_semantic import SegSplatting
+    seg = SegSplatting(dataset, opt, pipe, output_root=str(tmp_path / "out"),
+                       dp=8)
+    seg.robust_semantic_priors()
+    seg.train_segfeat(iterations=20, progress=False, save_every=10_000)
+    feats = np.asarray(seg.params.seg_feature_normed())[:len(labels)]
+    sims_intra, sims_inter = [], []
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        i, j = rng.integers(0, len(labels), 2)
+        s = float(feats[i] @ feats[j])
+        (sims_intra if labels[i] == labels[j] else sims_inter).append(s)
+    assert np.mean(sims_intra) > np.mean(sims_inter) + 0.05

@@ -32,6 +32,10 @@ def main(argv=None):
                         default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--disable_viewer", action="store_true", default=False)
+    parser.add_argument("--dp", type=int, default=0,
+                        help="camera-batch data parallelism over this many "
+                             "devices (one camera per chip per step, "
+                             "gradients pmean'd over ICI)")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
 
@@ -54,7 +58,7 @@ def main(argv=None):
     print(f"Output folder: {scene.model_path}")
     save_cfg_args(scene.model_path, args)
 
-    trainer = GeometryTrainer(dataset, opt, pipe, scene)
+    trainer = GeometryTrainer(dataset, opt, pipe, scene, dp=args.dp)
     first_iter = 0
     if args.start_checkpoint:
         from instascene_tpu.pipelines.checkpoint import load_checkpoint
@@ -73,8 +77,7 @@ def main(argv=None):
 
     from tqdm import tqdm
 
-    from instascene_tpu.utils.tb import (log_eval_scalars, log_train_scalars,
-                                         maybe_summary_writer)
+    from instascene_tpu.utils.tb import log_train_scalars, maybe_summary_writer
     tb = maybe_summary_writer(scene.model_path)
     bar = tqdm(range(first_iter + 1, opt.iterations + 1),
                desc="Training progress")
@@ -91,11 +94,10 @@ def main(argv=None):
                              "normal": f"{trainer.ema['normal']:.5f}",
                              "Points": int(trainer.params.n_alive())})
         if it in args.test_iterations:
-            ev = trainer.evaluate(list(range(0, min(len(trainer.cams), 25), 5)))
-            print(f"\n[ITER {it}] Evaluating: L1 {ev['l1']:.4f} "
-                  f"PSNR {ev['psnr']:.2f}")
-            log_eval_scalars(tb, it, "train", ev["l1"], ev["psnr"],
-                             int(trainer.params.n_alive()))
+            # test (--eval held-out split) + train-slice eval with TB image
+            # grids (reference train.py:222-279)
+            trainer.training_report(
+                tb, it, is_first_test_iter=it == min(args.test_iterations))
         if it in args.save_iterations:
             print(f"\n[ITER {it}] Saving Gaussians")
             trainer.save(it)

@@ -17,6 +17,9 @@ def main(argv=None):
     ModelParams.add_to_parser(parser)
     OptimizationParams.add_to_parser(parser)
     PipelineParams.add_to_parser(parser)
+    parser.add_argument("--dp", type=int, default=0,
+                        help="camera-batch data parallelism over this many "
+                             "devices during contrastive training")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
     dataset = ModelParams.extract(args)
@@ -25,7 +28,7 @@ def main(argv=None):
 
     from instascene_tpu.pipelines.train_semantic import SegSplatting
 
-    segsplat = SegSplatting(dataset, opt, pipe)
+    segsplat = SegSplatting(dataset, opt, pipe, dp=args.dp)
     segsplat.robust_semantic_priors()
     segsplat.train_segfeat()
     print("\nTraining complete.")
