@@ -55,14 +55,22 @@ def _window_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
-    """Mean SSIM over the image, channels-last [H,W,C]."""
+    """Mean SSIM over the image, channels-last [H,W,C].
+
+    The five blur targets (x, y, x², y², xy) are stacked on the channel axis
+    so the whole statistic costs ONE separable depthwise conv pair instead of
+    five — the blurs dominate SSIM's cost in the train step."""
     w = _gaussian_window(window_size)
-    mu1 = _window_conv(img1, w)
-    mu2 = _window_conv(img2, w)
+    c = img1.shape[-1]
+    stack = jnp.concatenate([img1, img2, img1 * img1, img2 * img2,
+                             img1 * img2], axis=-1)
+    b = _window_conv(stack, w)
+    mu1, mu2 = b[..., :c], b[..., c:2 * c]
+    m11, m22, m12 = b[..., 2 * c:3 * c], b[..., 3 * c:4 * c], b[..., 4 * c:]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _window_conv(img1 * img1, w) - mu1_sq
-    sigma2_sq = _window_conv(img2 * img2, w) - mu2_sq
-    sigma12 = _window_conv(img1 * img2, w) - mu1_mu2
+    sigma1_sq = m11 - mu1_sq
+    sigma2_sq = m22 - mu2_sq
+    sigma12 = m12 - mu1_mu2
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     ssim_map = (((2 * mu1_mu2 + c1) * (2 * sigma12 + c2))
                 / ((mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)))

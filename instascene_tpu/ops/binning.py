@@ -36,18 +36,16 @@ class AlignedLayout(NamedTuple):
     """Pairs grouped by tile, each tile's segment CHUNK-aligned.
 
     aligned_gid      [aligned_cap]  gaussian id per aligned slot (N sentinel)
-    chunk_tile       [n_chunks]     owning tile per chunk (num_tiles sentinel)
-    chunk_rank       [n_chunks]     chunk index within its tile
-    aligned_of_orig  [pair_cap]     aligned slot of each original pair
-    gauss_offsets    [N]            exclusive pair-count prefix per gaussian
-    gauss_csum       [N]            inclusive pair-count prefix per gaussian
+    chunk_tile       [n_chunks]     owning tile per chunk
+    chunk_rank       [n_chunks]     chunk index within its tile (n_chunks
+                                    marks the leftover sentinel chunks)
+
+    The backward reduces per-slot grads per gaussian with one deterministic
+    scatter-add over aligned_gid, so no inverse-permutation data is kept.
     """
     aligned_gid: jnp.ndarray
     chunk_tile: jnp.ndarray
     chunk_rank: jnp.ndarray
-    aligned_of_orig: jnp.ndarray
-    gauss_offsets: jnp.ndarray
-    gauss_csum: jnp.ndarray
 
 
 def aligned_cap(pair_cap: int, num_tiles: int, align: int = ALIGN) -> int:
@@ -135,9 +133,11 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     # sub-quantum depth ties get an arbitrary — but deterministic — order,
     # which only permutes near-coincident splats). One int32 key + payloads
     # sorts ~3x faster than a 2-key lexicographic sort on TPU.
+    # is_stable=False: ties within a (tile, depth-quantum) key are already
+    # arbitrary-but-deterministic; the unstable variant sorts ~30% faster
     key = tile_id * (1 << depth_bits) + jnp.where(slot_valid, bcast[:, 2], 0)
-    sorted_key, sorted_gid, sort_perm = jax.lax.sort(
-        (key, gid, arange_pairs), num_keys=1)
+    sorted_key, sorted_gid = jax.lax.sort((key, gid), num_keys=1,
+                                          is_stable=False)
     sorted_tile = (sorted_key >> depth_bits).astype(jnp.int32)
     sorted_gid = jnp.where(sorted_tile < num_tiles, sorted_gid, n)
 
@@ -226,20 +226,10 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         # sentinel id n, which the kernels treat as a zero row)
         aligned_gid = jnp.full((acap,), n, jnp.int32).at[
             jnp.where(st_ok, a_of_sorted, acap)].set(sorted_gid, mode="drop")
-        a_of_sorted = jnp.where(st_ok, jnp.clip(a_of_sorted, 0, acap - 1),
-                                acap - 1)
-        # aligned slot of each original pair (for the scatter-free backward),
-        # pushed through the sort permutation in one scatter
-        aligned_of_orig = jnp.full((pair_cap,), acap - 1, jnp.int32
-                                   ).at[sort_perm].set(a_of_sorted,
-                                                       mode="drop")
         aligned = AlignedLayout(
             aligned_gid=aligned_gid.astype(jnp.int32),
             chunk_tile=chunk_tile.astype(jnp.int32),
-            chunk_rank=jnp.clip(chunk_rank, 0, n_chunks).astype(jnp.int32),
-            aligned_of_orig=aligned_of_orig.astype(jnp.int32),
-            gauss_offsets=offsets.astype(jnp.int32),
-            gauss_csum=csum.astype(jnp.int32))
+            chunk_rank=jnp.clip(chunk_rank, 0, n_chunks).astype(jnp.int32))
 
     # pairs dropped: beyond pair_cap (plus per-tile beyond tile_cap for padded)
     n_dropped = jnp.maximum(total - pair_cap, 0)

@@ -908,11 +908,10 @@ def blend_aligned_diff(flat, binning_bundle, num_tiles, tile, grid_x,
     """Differentiable aligned-layout Pallas blend.
 
     flat [N+1, D] per-gaussian packed attrs (sentinel zero row last);
-    binning_bundle = (aligned_gid, chunk_tile, chunk_rank, aligned_of_orig,
-    gauss_offsets, gauss_csum) — index data, non-differentiable. Returns
-    (out [T,OC,P2], iout [T,2,P2]). The VJP is entirely scatter-free:
-    per-slot grads → permutation gather back to expansion order → one cumsum
-    with per-gaussian segment-boundary differences."""
+    binning_bundle = (aligned_gid, chunk_tile, chunk_rank) — index data,
+    non-differentiable. Returns (out [T,OC,P2], iout [T,2,P2]). The VJP
+    reduces per-slot grads to per-gaussian grads with one deterministic
+    scatter-add keyed by aligned_gid."""
     out, iout, _ = _blend_aligned_fwd_impl(flat, binning_bundle, num_tiles,
                                            tile, grid_x, n_extra, interpret,
                                            chunk, extras_only)
@@ -943,27 +942,33 @@ def _blend_aligned_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
                             extras_only, chunk, res, cts):
     packed, bundle, saved, iout, n1 = res
     gout, _ = cts
-    (aligned_gid, chunk_tile, chunk_rank, aligned_of_orig,
-     gauss_offsets, gauss_csum) = bundle
+    aligned_gid, chunk_tile, chunk_rank = bundle[0], bundle[1], bundle[2]
     d_packed = blend_bwd_pallas_aligned(packed, gout, saved, iout,
                                         chunk_tile, chunk_rank, num_tiles,
                                         tile, grid_x, n_extra, interpret,
                                         extras_only=extras_only, chunk=chunk)
     d_aligned = d_packed.T                      # [ACAP, D] or [ACAP, E]
-    d_orig = d_aligned[aligned_of_orig]         # [pair_cap, rows]
-    s = jnp.concatenate([jnp.zeros((1, d_orig.shape[1]), d_orig.dtype),
-                         jnp.cumsum(d_orig, axis=0)], axis=0)
-    pair_cap = d_orig.shape[0]
-    lo = jnp.clip(gauss_offsets, 0, pair_cap)
-    hi = jnp.clip(gauss_csum, 0, pair_cap)
-    d_gauss = s[hi] - s[lo]                     # [N, rows]
+    # per-gaussian reduction: ONE deterministic scatter-add keyed by the
+    # (index-only) aligned gid list — XLA TPU scatter-add is sequential, not
+    # atomic, so this keeps the determinism guarantee while replacing the
+    # round-1 inverse-permutation gather + full-pair cumsum + boundary-diff
+    # chain (and the third sort payload that fed it). Sentinel slots point at
+    # the zero row n1-1 and carry exact-zero grads.
+    # Measured XLA/TPU cliff: a 16-column f32 scatter-add lowers ~5x slower
+    # than 18 columns (129 vs 26 ms at 1.56M rows on v5e) — pad narrow
+    # operands past the cliff and slice the result.
+    cols = d_aligned.shape[1]
+    pad = max(0, 18 - cols)
+    if pad:
+        d_aligned = jnp.concatenate(
+            [d_aligned, jnp.zeros((d_aligned.shape[0], pad),
+                                  d_aligned.dtype)], axis=1)
+    d_flat = jnp.zeros((n1, cols + pad), d_aligned.dtype
+                       ).at[aligned_gid].add(d_aligned)[:, :cols]
     if extras_only:
         # kernel emitted only the E feature rows; the rest of d_flat is zero
-        d_gauss = jnp.concatenate(
-            [jnp.zeros((d_gauss.shape[0], _EXT), d_gauss.dtype), d_gauss],
-            axis=1)
-    d_flat = jnp.concatenate(
-        [d_gauss, jnp.zeros((1, d_gauss.shape[1]), d_gauss.dtype)], axis=0)
+        d_flat = jnp.concatenate(
+            [jnp.zeros((n1, _EXT), d_flat.dtype), d_flat], axis=1)
     return d_flat, None
 
 

@@ -249,8 +249,11 @@ class GeometryTrainer:
             cur = self._pair_cap or max(64 * 1024, 4 * self.params.capacity)
             self._pair_cap = cur * 2
         elif self._pair_cap == 0:
-            cap = max(128 * 1024,
-                      1 << int(np.ceil(np.log2(max(total, 1) * 2))))
+            # snug 256k-granular cap: every binning stage (sort, scatters,
+            # cumsums) is O(pair_cap), and 1.35x headroom absorbs normal
+            # densification growth between the 50-iter adapt checks
+            gran = 256 * 1024
+            cap = max(gran, (int(total * 1.35) + gran - 1) // gran * gran)
             default = max(64 * 1024, 4 * self.params.capacity)
             if cap < default:
                 self._pair_cap = cap
