@@ -41,11 +41,40 @@ class AlignedLayout(NamedTuple):
                                     marks the leftover sentinel chunks)
 
     The backward reduces per-slot grads per gaussian with one deterministic
-    scatter-add over aligned_gid, so no inverse-permutation data is kept.
+    scatter-add over aligned_gid, so fresh per-step binning keeps no
+    inverse-permutation data. The three optional fields below are a faster
+    gather+cumsum+segment-diff reduction (measured 17.7 vs 28.7 ms at 1.5M
+    slots x 16ch on v5e) whose indices cost an extra argsort to build —
+    worth it only when binning is cached (frozen-geometry semantic stage);
+    chain_reduce_indices() fills them at cache-build time.
+
+    gid_order        [aligned_cap]  slot ids sorted by gaussian id (stable)
+    gauss_offsets    [N+1]          exclusive slot-count prefix per gaussian
+    gauss_csum       [N+1]          inclusive slot-count prefix per gaussian
     """
     aligned_gid: jnp.ndarray
     chunk_tile: jnp.ndarray
     chunk_rank: jnp.ndarray
+    gid_order: Optional[jnp.ndarray] = None
+    gauss_offsets: Optional[jnp.ndarray] = None
+    gauss_csum: Optional[jnp.ndarray] = None
+
+
+def chain_reduce_indices(aligned_gid: jnp.ndarray, n: int):
+    """Build the gather+cumsum reduction indices from an aligned gid list.
+
+    One stable sort over the slots (cache-build-time only). Sentinel slots
+    (gid == n) sort last and land in segment n, which maps to the packed
+    sentinel zero row — their grads are exact zeros either way."""
+    acap = aligned_gid.shape[0]
+    iota = jnp.arange(acap, dtype=jnp.int32)
+    sorted_gid, gid_order = jax.lax.sort((aligned_gid, iota), num_keys=1)
+    gauss_ids = jnp.arange(n + 1, dtype=aligned_gid.dtype)
+    gauss_csum = jnp.searchsorted(sorted_gid, gauss_ids,
+                                  side="right").astype(jnp.int32)
+    gauss_offsets = jnp.searchsorted(sorted_gid, gauss_ids,
+                                     side="left").astype(jnp.int32)
+    return gid_order, gauss_offsets, gauss_csum
 
 
 def aligned_cap(pair_cap: int, num_tiles: int, align: int = ALIGN) -> int:

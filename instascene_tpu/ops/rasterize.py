@@ -224,7 +224,12 @@ def _binning_cache_impl(xyz, scales, rotations, alive, w2v, full_proj, campos,
     b = bin_gaussians(pre, width, height, pair_cap, tile_cap, tile=tile,
                       layout=layout, align=align)
     if layout == "aligned":
-        return tuple(b.aligned), b.tile_count, b.n_dropped
+        # cache-build-time extra: the chain-reduction indices make the
+        # cached-binning backward's per-gaussian grad reduction a gather +
+        # cumsum + segment diff instead of a scatter-add (~1.6x faster)
+        from .binning import chain_reduce_indices
+        chain = chain_reduce_indices(b.aligned.aligned_gid, xyz.shape[0])
+        return tuple(b.aligned)[:3] + chain, b.tile_count, b.n_dropped
     return ((b.tile_indices, b.tile_count.astype(jnp.int32)),
             b.tile_count, b.n_dropped)
 

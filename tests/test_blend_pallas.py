@@ -256,6 +256,26 @@ def test_cached_binning_matches_fresh(rng):
         assert np.allclose(np.asarray(fresh.blend.extra),
                            np.asarray(cached.blend.extra), atol=1e-6), impl
 
+        # gradients must agree too: the cached aligned path reduces per-slot
+        # grads with the gather+cumsum chain (cache carries gid_order/prefix
+        # indices) while the fresh path uses the scatter-add reduction
+        def loss(cb_arg, x, o):
+            out = rasterize(x, params.scaling_activated(),
+                            params.rotation_normalized(), o, cm,
+                            jnp.zeros(3), cfg, cached_binning=cb_arg,
+                            **kwargs)
+            return (jnp.sum(out.blend.color ** 2)
+                    + jnp.sum(out.blend.extra ** 2))
+
+        gf = jax.grad(loss, argnums=(1, 2))(
+            None, params.xyz, params.opacity_activated()[:, 0])
+        gc = jax.grad(loss, argnums=(1, 2))(
+            cb, params.xyz, params.opacity_activated()[:, 0])
+        for a, b, nm in zip(gf, gc, ("xyz", "opac")):
+            a, b = np.asarray(a), np.asarray(b)
+            denom = np.abs(a).max() + 1e-8
+            assert np.abs(a - b).max() / denom < 1e-5, (impl, nm)
+
 
 def test_train_step_impl_parity(rng):
     """One full geometry train_step with impl='pallas' (interpret) must match
