@@ -78,7 +78,14 @@ def chain_reduce_indices(aligned_gid: jnp.ndarray, n: int):
 
 
 def aligned_cap(pair_cap: int, num_tiles: int, align: int = ALIGN) -> int:
-    return ((pair_cap + align - 1) // align + num_tiles) * align
+    """Aligned-layout capacity. Slack beyond pair_cap covers per-tile
+    chunk-rounding plus one chunk per empty tile; the worst case is
+    num_tiles chunks, but reserving it all made the pack gather and the
+    kernel grid up to ~50% sentinel slots at 1080p. Reserve half (typical
+    scenes use well under it) — bin_gaussians counts chunk overflow into
+    n_dropped, so callers' grow-and-retry loops handle the pathological
+    mostly-empty-frame case."""
+    return ((pair_cap + align - 1) // align + num_tiles // 2 + 64) * align
 
 
 class BinningOut(NamedTuple):
@@ -142,16 +149,24 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     rw_g = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
     packed_rect = ((rw_g << 20) | (rect_min[:, 1] << 10)
                    | rect_min[:, 0]).astype(jnp.int32)
-    tab = jnp.stack([offsets.astype(jnp.int32), packed_rect, dqg], axis=1)
-    diffs = tab - jnp.concatenate([jnp.zeros((1, 3), jnp.int32), tab[:-1]])
-    buf = jnp.zeros((pair_cap + 1, 3), jnp.int32
-                    ).at[scatter_pos].add(diffs)
-    bcast = jnp.cumsum(buf[:pair_cap], axis=0)                  # [pair_cap,3]
+
+    # one 1-D scatter+cumsum per column: a single [pair_cap, 3] buffer makes
+    # XLA pick a transposed {0,1} layout to please the 2-D cumsum, turning
+    # the scatter into strided single-word writes (measured 13 ms vs 3 ms
+    # for the three 1-D chains at 1.65M pairs on v5e)
+    def seg_broadcast(col):
+        d = col - jnp.concatenate([jnp.zeros((1,), jnp.int32), col[:-1]])
+        buf = jnp.zeros((pair_cap + 1,), jnp.int32).at[scatter_pos].add(d)
+        return jnp.cumsum(buf[:pair_cap])
+
+    b_off = seg_broadcast(offsets.astype(jnp.int32))
+    b_rect = seg_broadcast(packed_rect)
+    b_depth = seg_broadcast(dqg)
     arange_pairs = jnp.arange(pair_cap, dtype=jnp.int32)
-    rank = jnp.where(slot_valid, arange_pairs - bcast[:, 0], 0)
-    rw = jnp.maximum(bcast[:, 1] >> 20, 1)
-    rmin_y = (bcast[:, 1] >> 10) & 1023
-    rmin_x = bcast[:, 1] & 1023
+    rank = jnp.where(slot_valid, arange_pairs - b_off, 0)
+    rw = jnp.maximum(b_rect >> 20, 1)
+    rmin_y = (b_rect >> 10) & 1023
+    rmin_x = b_rect & 1023
     dy = rank // rw
     dx = rank - dy * rw
     tile_id = (rmin_y + dy) * grid_x + (rmin_x + dx)
@@ -164,7 +179,7 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     # sorts ~3x faster than a 2-key lexicographic sort on TPU.
     # is_stable=False: ties within a (tile, depth-quantum) key are already
     # arbitrary-but-deterministic; the unstable variant sorts ~30% faster
-    key = tile_id * (1 << depth_bits) + jnp.where(slot_valid, bcast[:, 2], 0)
+    key = tile_id * (1 << depth_bits) + jnp.where(slot_valid, b_depth, 0)
     sorted_key, sorted_gid = jax.lax.sort((key, gid), num_keys=1,
                                           is_stable=False)
     sorted_tile = (sorted_key >> depth_bits).astype(jnp.int32)
@@ -234,8 +249,11 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         is_tail = qs >= total_chunks
         is_leftover = is_tail & ~in_empty_range
         chunk_tile = jnp.where(is_tail, tail_tile, ct)
+        # ranks: real chunks 0..; empty-tile tail chunks n_chunks+1 (kernels
+        # run init-only: zero output + T=1, skipping the splat body on their
+        # all-sentinel slots); leftover tail chunks n_chunks (skip entirely)
         chunk_rank = jnp.where(
-            is_tail, jnp.where(is_leftover, n_chunks, 0),
+            is_tail, jnp.where(is_leftover, n_chunks, n_chunks + 1),
             qs - astart_chunks[jnp.clip(ct, 0, num_tiles - 1)])
         # sorted position j of tile t maps to aligned slot j + delta[t],
         # delta = astart - tile_start. Broadcast delta over the (ascending)
@@ -258,10 +276,18 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         aligned = AlignedLayout(
             aligned_gid=aligned_gid.astype(jnp.int32),
             chunk_tile=chunk_tile.astype(jnp.int32),
-            chunk_rank=jnp.clip(chunk_rank, 0, n_chunks).astype(jnp.int32))
+            chunk_rank=jnp.clip(chunk_rank, 0, n_chunks + 1).astype(jnp.int32))
 
     # pairs dropped: beyond pair_cap (plus per-tile beyond tile_cap for padded)
     n_dropped = jnp.maximum(total - pair_cap, 0)
+    if layout in ("aligned", "both"):
+        # aligned chunk overflow: per-tile chunk rounding + one chunk per
+        # empty tile exceeded the slack in aligned_cap — data beyond acap was
+        # dropped and/or some empty tiles got no init chunk. Report it (in
+        # pair units) so grow-and-retry loops recompile with larger caps.
+        chunks_needed = total_chunks + ecs[-1]
+        n_dropped = n_dropped + jnp.maximum(
+            chunks_needed - acap // align, 0) * align
     if layout in ("padded", "both"):
         n_dropped = n_dropped + jnp.sum(jnp.maximum(tile_count - tile_cap, 0))
 

@@ -512,16 +512,23 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
     tt = ct_ref[i]
     prev_tt = ct_ref[jnp.maximum(i - 1, 0)]
     first = (i == 0) | (tt != prev_tt)
-    # leftover tail chunks are assigned the LAST visited tile (so output-block
-    # visits stay consecutive — Pallas flushes the VMEM buffer on every index
-    # change) but carry chunk_rank == n_chunks as a sentinel: skip all compute;
-    # the resident buffer already holds that tile's final data and the extra
-    # flush rewrites it unchanged.
-    real = cr_ref[i] < pl.num_programs(0)
+    # tail-chunk rank sentinels (see binning.py): rank == n_chunks marks a
+    # LEFTOVER chunk — assigned the last visited tile (so output-block visits
+    # stay consecutive; Pallas flushes the VMEM buffer on every index change)
+    # and fully skipped: the resident buffer already holds that tile's final
+    # data and the extra flush rewrites it unchanged. rank == n_chunks+1
+    # marks an EMPTY TILE's only chunk: init-only (zeros + final_T = 1), the
+    # splat body never touches its all-sentinel slots.
+    nprog = pl.num_programs(0)
+    real = cr_ref[i] < nprog
+    is_empty = cr_ref[i] == nprog + 1
 
-    @pl.when(first & real & (tt < num_tiles))
+    @pl.when(first & (real | is_empty) & (tt < num_tiles))
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
+        # final_T row starts at 1 (all transmittance remains): for empty
+        # tiles this IS the output; real tiles overwrite it per work chunk
+        out_ref[0, 9:10] = jnp.ones_like(out_ref[0, 9:10])
         iout_ref[...] = jnp.zeros_like(iout_ref)
         Tst[...] = jnp.ones_like(Tst)
         m1s[...] = jnp.zeros_like(m1s)
@@ -670,7 +677,12 @@ def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_chunks,),
-        in_specs=[pl.BlockSpec((D, chunk), lambda i, ct, cr: (0, i))],
+        # tail chunks (rank >= n_chunks: leftover + empty-tile) never read
+        # their slots — map them all to block 0 so consecutive identical
+        # indices dedupe the DMA instead of streaming dead sentinel data
+        in_specs=[pl.BlockSpec(
+            (D, chunk),
+            lambda i, ct, cr: (0, jnp.where(cr[i] >= n_chunks, 0, i)))],
         out_specs=[
             pl.BlockSpec((1, OC, P2),
                          lambda i, ct, cr: (jnp.minimum(ct[i], num_tiles - 1),
@@ -880,7 +892,12 @@ def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
         num_scalar_prefetch=2,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec((D, chunk), lambda i, ct, cr: (0, n_chunks - 1 - i)),
+            # tail chunks (visited first on the reverse walk) never read their
+            # slots — pin them to one block so the DMAs dedupe
+            pl.BlockSpec((D, chunk),
+                         lambda i, ct, cr: (0, jnp.where(
+                             cr[n_chunks - 1 - i] >= n_chunks,
+                             n_chunks - 1, n_chunks - 1 - i))),
             pl.BlockSpec((1, OC, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0)),
             pl.BlockSpec((1, 3, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0)),
             pl.BlockSpec((1, 2, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0))],
