@@ -178,7 +178,11 @@ def bench_geometry(params, make_cam, width=976, height=728, iters=10):
     return iters / dt
 
 
-def bench_render_fps(params, make_cam, width=1920, height=1080, iters=20):
+def bench_render_fps(params, make_cam, width=1920, height=1080, iters=20,
+                     viewer=False):
+    """Full-quality forward fps (viewer=False) or the interactive GUI path
+    (viewer=True: color+alpha+16-ch features, aux maps skipped). Both re-bin
+    every frame, as an orbiting camera pays."""
     import jax
     import jax.numpy as jnp
 
@@ -201,17 +205,22 @@ def bench_render_fps(params, make_cam, width=1920, height=1080, iters=20):
             pair_cap = (int(total * 1.3) + 127) // 128 * 128
             break
         pair_cap *= 2
-    cfg = RasterizeConfig(width=width, height=height, pair_cap=pair_cap)
+    cfg = RasterizeConfig(width=width, height=height, pair_cap=pair_cap,
+                          fwd_viewer=viewer)
+    extras = params.seg_feature_normed() if viewer else None
 
     # chain iterations (identical re-dispatches get deduped on this runtime)
     @jax.jit
     def step(p_feat):
-        img = rasterize(params.xyz, params.scaling_activated(),
-                        params.rotation_normalized(),
-                        params.opacity_activated()[:, 0],
-                        cm, jnp.zeros(3), cfg, shs=params.features(),
-                        sh_degree=3).blend.color
-        return p_feat + 1e-20 * img[0, 0, 0]
+        b = rasterize(params.xyz, params.scaling_activated(),
+                      params.rotation_normalized(),
+                      params.opacity_activated()[:, 0],
+                      cm, jnp.zeros(3), cfg, shs=params.features(),
+                      sh_degree=3, extras=extras).blend
+        x = b.color[0, 0, 0]
+        if viewer:
+            x = x + b.extra[0, 0, 0]
+        return p_feat + 1e-20 * x
     x = step(jnp.zeros(()))
     float(x)
     for _ in range(WARMUP_ITERS):  # burn the slow tiered-exec phase
@@ -244,6 +253,11 @@ def main():
             bench_render_fps(params, make_cam), 2)
     except Exception as e:
         extra["fps_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        extra["gui_feature_render_1080p_fps"] = round(
+            bench_render_fps(params, make_cam, viewer=True), 2)
+    except Exception as e:
+        extra["gui_fps_error"] = f"{type(e).__name__}: {e}"[:200]
     if sem_its is None and "geometry_train_its" in extra:
         sem_its = 0.0
     print(json.dumps({

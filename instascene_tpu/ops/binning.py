@@ -147,8 +147,6 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     # Columns: pair offset, rect fields packed 10|10|10 (rw | rmin_y |
     # rmin_x, good to 1023 tiles per axis ≈ 16K resolution), quantized depth.
     rw_g = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1)
-    packed_rect = ((rw_g << 20) | (rect_min[:, 1] << 10)
-                   | rect_min[:, 0]).astype(jnp.int32)
 
     # one 1-D scatter+cumsum per column: a single [pair_cap, 3] buffer makes
     # XLA pick a transposed {0,1} layout to please the 2-D cumsum, turning
@@ -159,12 +157,22 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         buf = jnp.zeros((pair_cap + 1,), jnp.int32).at[scatter_pos].add(d)
         return jnp.cumsum(buf[:pair_cap])
 
-    b_off = seg_broadcast(offsets.astype(jnp.int32))
-    b_rect = seg_broadcast(packed_rect)
-    b_depth = seg_broadcast(dqg)
     arange_pairs = jnp.arange(pair_cap, dtype=jnp.int32)
+    if pair_cap < (1 << 21):
+        # pack pair offset (21 bits) | rect width (10 bits) into one chain
+        b1 = seg_broadcast(((offsets.astype(jnp.int32) << 10)
+                            | rw_g).astype(jnp.int32))
+        b_off = b1 >> 10
+        rw = jnp.maximum(b1 & 1023, 1)
+        b_rect = seg_broadcast(((rect_min[:, 1] << 10)
+                                | rect_min[:, 0]).astype(jnp.int32))
+    else:
+        b_off = seg_broadcast(offsets.astype(jnp.int32))
+        rw = jnp.maximum(seg_broadcast(rw_g.astype(jnp.int32)), 1)
+        b_rect = seg_broadcast(((rect_min[:, 1] << 10)
+                                | rect_min[:, 0]).astype(jnp.int32))
+    b_depth = seg_broadcast(dqg)
     rank = jnp.where(slot_valid, arange_pairs - b_off, 0)
-    rw = jnp.maximum(b_rect >> 20, 1)
     rmin_y = (b_rect >> 10) & 1023
     rmin_x = b_rect & 1023
     dy = rank // rw

@@ -120,8 +120,9 @@ def _splat_terms(bt, pxf, pyf):
     pz_ = kx * ly - ky * lx
     pz_ok = pz_ != 0.0
     pz = jnp.where(pz_ok, pz_, 1.0)
-    sx = jnp.clip(px_ / pz, -3e4, 3e4)
-    sy = jnp.clip(py_ / pz, -3e4, 3e4)
+    inv_pz = 1.0 / pz                 # one reciprocal, two multiplies
+    sx = jnp.clip(px_ * inv_pz, -3e4, 3e4)
+    sy = jnp.clip(py_ * inv_pz, -3e4, 3e4)
     rho3d = sx * sx + sy * sy
     dx = bt[:, _XY:_XY + 1] - pxf
     dy = bt[:, _XY + 1:_XY + 2] - pyf
@@ -134,7 +135,7 @@ def _splat_terms(bt, pxf, pyf):
     alpha = jnp.minimum(bt[:, _OPA:_OPA + 1] * G, 0.99)
     m = pz_ok & (depth_ray >= NEAR_N) & (power <= 0.0) & (alpha >= 1.0 / 255.0)
     return dict(alpha=alpha, m=m, depth_ray=depth_ray, use3d=use3d,
-                sx=sx, sy=sy, pz=pz, G=G, dx=dx, dy=dy,
+                sx=sx, sy=sy, pz=pz, inv_pz=inv_pz, G=G, dx=dx, dy=dy,
                 kx=kx, ky=ky, kz=kz, lx=lx, ly=ly, lz=lz,
                 Twx=Twx, Twy=Twy, Twz=Twz)
 
@@ -381,9 +382,10 @@ def _bwd_kernel(count_ref, packed_ref, gout_ref, sv_ref, iout_ref, dout_ref,
         # --- 3d branch: grads through s and the ray-splat depth
         dLdsx = jnp.where(use3d, dLdrho * 2.0 * sx + dLdd * Twx, 0.0)
         dLdsy = jnp.where(use3d, dLdrho * 2.0 * sy + dLdd * Twy, 0.0)
-        dLdpx = dLdsx / pz
-        dLdpy = dLdsy / pz
-        dLdpz = -(dLdsx * sx + dLdsy * sy) / pz
+        inv_pz = g["inv_pz"]
+        dLdpx = dLdsx * inv_pz
+        dLdpy = dLdsy * inv_pz
+        dLdpz = -(dLdsx * sx + dLdsy * sy) * inv_pz
         kx, ky, kz = g["kx"], g["ky"], g["kz"]
         lx, ly, lz = g["lx"], g["ly"], g["lz"]
         dkx = ly * dLdpz - lz * dLdpy
@@ -506,7 +508,8 @@ blend_pallas_diff.defvjp(_blend_diff_fwd, _blend_diff_bwd)
 
 def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
                         Tst, m1s, m2s, done_s, *, tile, grid_x, num_tiles,
-                        n_extra, chunk=CHUNK, extras_only=False):
+                        n_extra, chunk=CHUNK, extras_only=False,
+                        viewer=False):
     i = pl.program_id(0)
     E = n_extra
     tt = ct_ref[i]
@@ -551,7 +554,7 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         pxf = tx * tile + (p % tile).astype(jnp.float32)
         pyf = ty * tile + (p // tile).astype(jnp.float32)
 
-        bt = packed_ref[...].T                   # [C, D]
+        bt = packed_ref[...]                     # [C, D] (slot-major block)
         C = bt.shape[0]
         g = _splat_terms(bt, pxf, pyf)
         slot = (cr_ref[i] * chunk
@@ -609,10 +612,28 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
             done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
             return
 
-        acc_col = jnp.dot(bt[:, _COL:_COL + 3].T, w,
-                          preferred_element_type=jnp.float32)
-        acc_nrm = jnp.dot(bt[:, _NRM:_NRM + 3].T, w,
-                          preferred_element_type=jnp.float32)
+        if viewer:
+            # interactive-viewer fast path: color + alpha [+ features] only —
+            # the depth/normal/median/distortion machinery (one packed moment
+            # scan + median tracking, ~40% of the full body) is skipped; the
+            # GUI displays rgb and the feature PCA map and needs nothing else.
+            acc_cx = jnp.dot(bt[:, _COL:_COL + 3 + E].T, w,
+                             preferred_element_type=jnp.float32)
+            out_ref[0, 0:3] = out[0:3] + acc_cx[0:3]
+            out_ref[0, 9:10] = T_out
+            if E:
+                out_ref[0, 10:10 + E] = out[10:10 + E] + acc_cx[3:3 + E]
+            iout_ref[0, 0:1] = jnp.maximum(iout[0:1], lastc)
+            Tst[0:1] = T_out
+            done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
+            return
+
+        # one MXU pass accumulates normal(3) + opacity placeholder + color(3)
+        # [+ extras]: packed rows 11:18+E are contiguous
+        acc_sel = jnp.dot(bt[:, _NRM:_NRM + 7 + E].T, w,
+                          preferred_element_type=jnp.float32)  # [7+E, P2]
+        acc_nrm = acc_sel[0:3]
+        acc_col = acc_sel[4:7]
         acc_dep = jnp.sum(w * depth_ray, axis=0, keepdims=True)
 
         d_safe = jnp.where(m, depth_ray, 1.0)
@@ -644,9 +665,7 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
         out_ref[0, 8:9] = out[8:9] + acc_dist
         out_ref[0, 9:10] = T_out
         if E:
-            acc_ext = jnp.dot(bt[:, _EXT:_EXT + E].T, w,
-                              preferred_element_type=jnp.float32)
-            out_ref[0, 10:10 + E] = out[10:10 + E] + acc_ext
+            out_ref[0, 10:10 + E] = out[10:10 + E] + acc_sel[7:7 + E]
         out_ref[0, 10 + E:11 + E] = m1s[0:1] + jnp.sum(mw, axis=0,
                                                        keepdims=True)
         out_ref[0, 11 + E:12 + E] = m2s[0:1] + jnp.sum(m2w, axis=0,
@@ -666,10 +685,11 @@ def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
                              tile: int, grid_x: int, n_extra: int,
                              interpret: bool = False,
                              chunk: int = CHUNK,
-                             extras_only: bool = False) -> PallasBlendFwdOut:
-    """packed [D, ACAP] (aligned layout); chunk_tile/chunk_rank
+                             extras_only: bool = False,
+                             viewer: bool = False) -> PallasBlendFwdOut:
+    """packed [ACAP, D] (aligned layout, slot-major); chunk_tile/chunk_rank
     [ACAP//chunk]."""
-    D, acap = packed.shape
+    acap, D = packed.shape
     n_chunks = acap // chunk
     P2 = tile * tile
     OC = 12 + n_extra
@@ -681,8 +701,8 @@ def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
         # their slots — map them all to block 0 so consecutive identical
         # indices dedupe the DMA instead of streaming dead sentinel data
         in_specs=[pl.BlockSpec(
-            (D, chunk),
-            lambda i, ct, cr: (0, jnp.where(cr[i] >= n_chunks, 0, i)))],
+            (chunk, D),
+            lambda i, ct, cr: (jnp.where(cr[i] >= n_chunks, 0, i), 0))],
         out_specs=[
             pl.BlockSpec((1, OC, P2),
                          lambda i, ct, cr: (jnp.minimum(ct[i], num_tiles - 1),
@@ -697,7 +717,8 @@ def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
     )
     kernel = functools.partial(_fwd_kernel_aligned, tile=tile, grid_x=grid_x,
                                num_tiles=num_tiles, n_extra=n_extra,
-                               chunk=chunk, extras_only=extras_only)
+                               chunk=chunk, extras_only=extras_only,
+                               viewer=viewer)
     out, iout = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -747,7 +768,7 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         pxf = tx * tile + (p % tile).astype(jnp.float32)
         pyf = ty * tile + (p // tile).astype(jnp.float32)
 
-        bt = packed_ref[...].T
+        bt = packed_ref[...]                     # [C, D] (slot-major block)
         C = bt.shape[0]
         g = _splat_terms(bt, pxf, pyf)
         slot = (cr_ref[j] * chunk
@@ -781,7 +802,7 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
             # carries ONLY the E feature rows ([E, acap] instead of [D, acap])
             gext = gout_ref[0, 10:10 + E]
             dext = jnp.dot(w, gext.T, preferred_element_type=jnp.float32)
-            dout_ref[...] = dext.T
+            dout_ref[...] = dext                 # [C, E] slot-major
             Tst[0:1] = T_entry
             return
 
@@ -792,20 +813,20 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         gdist = gout_ref[0, 8:9]
         gTfin = gout_ref[0, 9:10]
 
-        colors = bt[:, _COL:_COL + 3]
-        normals = bt[:, _NRM:_NRM + 3]
         d_safe = jnp.where(cmask, depth_ray, 1.0)
         md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / d_safe)
 
-        dLdw = (jnp.dot(colors, gcol, preferred_element_type=jnp.float32)
-                + jnp.dot(normals, gnrm, preferred_element_type=jnp.float32)
+        # one MXU pass for color+normal(+extras)·cotangent: packed rows
+        # 11:14 (normal), 14 (opacity — multiplied by a zero gout row),
+        # 15:18 (color), 18: (extras) are contiguous, and the matching gout
+        # rows can be assembled with one concat
+        gsel = jnp.concatenate(
+            [gnrm, jnp.zeros_like(gD), gcol]
+            + ([gout_ref[0, 10:10 + E]] if E else []), axis=0)  # [7+E, P2]
+        dLdw = (jnp.dot(bt[:, _NRM:_NRM + 7 + E], gsel,
+                        preferred_element_type=jnp.float32)
                 + depth_ray * gD
                 + gdist * (md * md * a_fin + m2tot - 2.0 * md * m1tot))
-        if E:
-            extras = bt[:, _EXT:_EXT + E]
-            gext = gout_ref[0, 10:10 + E]
-            dLdw = dLdw + jnp.dot(extras, gext,
-                                  preferred_element_type=jnp.float32)
 
         dw_w = jnp.where(cmask, dLdw * w, 0.0)
         tot = jnp.sum(dw_w, axis=0, keepdims=True)
@@ -830,9 +851,10 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         Twx, Twy, Twz = g["Twx"], g["Twy"], g["Twz"]
         dLdsx = jnp.where(use3d, dLdrho * 2.0 * sx + dLdd * Twx, 0.0)
         dLdsy = jnp.where(use3d, dLdrho * 2.0 * sy + dLdd * Twy, 0.0)
-        dLdpx = dLdsx / pz
-        dLdpy = dLdsy / pz
-        dLdpz = -(dLdsx * sx + dLdsy * sy) / pz
+        inv_pz = g["inv_pz"]
+        dLdpx = dLdsx * inv_pz
+        dLdpy = dLdsy * inv_pz
+        dLdpz = -(dLdsx * sx + dLdsy * sy) * inv_pz
         kx, ky, kz = g["kx"], g["ky"], g["kz"]
         lx, ly, lz = g["lx"], g["ly"], g["lz"]
         dkx = ly * dLdpz - lz * dLdpy
@@ -854,20 +876,17 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         def rsum(x):
             return jnp.sum(x, axis=1, keepdims=True)
 
-        dnrm = jnp.dot(w, gnrm.T, preferred_element_type=jnp.float32)
-        dcol = jnp.dot(w, gcol.T, preferred_element_type=jnp.float32)
+        # one MXU pass for all w·cotangent rows: gsel already stacks
+        # (gnrm, 0, gcol, extras) in packed-row order, so w @ gselᵀ yields
+        # the normal/opacity-placeholder/color/extras grads together
+        dsel = jnp.dot(w, gsel.T, preferred_element_type=jnp.float32)
         rows = jnp.concatenate(
             [rsum(-dkx), rsum(-dky), rsum(-dkz),
              rsum(-dlx), rsum(-dly), rsum(-dlz),
              rsum(dTw_x), rsum(dTw_y), rsum(dTw_z),
              rsum(dxy_x), rsum(dxy_y),
-             dnrm[:, 0:1], dnrm[:, 1:2], dnrm[:, 2:3], rsum(dopa),
-             dcol[:, 0:1], dcol[:, 1:2], dcol[:, 2:3]], axis=1)
-        if E:
-            gext = gout_ref[0, 10:10 + E]
-            dext = jnp.dot(w, gext.T, preferred_element_type=jnp.float32)
-            rows = jnp.concatenate([rows, dext], axis=1)
-        dout_ref[...] = rows.T
+             dsel[:, 0:3], rsum(dopa), dsel[:, 4:7 + E]], axis=1)
+        dout_ref[...] = rows                     # [C, D] slot-major
 
         Tst[0:1] = T_entry
         Ss[0:1] = Ss[0:1] + tot
@@ -879,7 +898,8 @@ def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
                              interpret: bool = False,
                              extras_only: bool = False,
                              chunk: int = CHUNK) -> jnp.ndarray:
-    D, acap = packed.shape
+    """packed [ACAP, D] slot-major; returns d(packed) [ACAP, rows]."""
+    acap, D = packed.shape
     n_chunks = acap // chunk
     P2 = tile * tile
     OC = 12 + n_extra
@@ -894,15 +914,15 @@ def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
         in_specs=[
             # tail chunks (visited first on the reverse walk) never read their
             # slots — pin them to one block so the DMAs dedupe
-            pl.BlockSpec((D, chunk),
-                         lambda i, ct, cr: (0, jnp.where(
+            pl.BlockSpec((chunk, D),
+                         lambda i, ct, cr: (jnp.where(
                              cr[n_chunks - 1 - i] >= n_chunks,
-                             n_chunks - 1, n_chunks - 1 - i))),
+                             n_chunks - 1, n_chunks - 1 - i), 0)),
             pl.BlockSpec((1, OC, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0)),
             pl.BlockSpec((1, 3, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0)),
             pl.BlockSpec((1, 2, P2), lambda i, ct, cr: (tile_of(i, ct), 0, 0))],
-        out_specs=[pl.BlockSpec((rows, chunk),
-                                lambda i, ct, cr: (0, n_chunks - 1 - i))],
+        out_specs=[pl.BlockSpec((chunk, rows),
+                                lambda i, ct, cr: (n_chunks - 1 - i, 0))],
         scratch_shapes=[pltpu.VMEM((1, P2), jnp.float32),
                         pltpu.VMEM((1, P2), jnp.float32)],
     )
@@ -913,7 +933,7 @@ def blend_bwd_pallas_aligned(packed, gout, saved, iout, chunk_tile,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((rows, acap), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((acap, rows), jnp.float32)],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(chunk_tile, chunk_rank, packed, gout, saved, iout)[0]
 
@@ -936,13 +956,29 @@ def blend_aligned_diff(flat, binning_bundle, num_tiles, tile, grid_x,
 
 
 def _blend_aligned_fwd_impl(flat, bundle, num_tiles, tile, grid_x, n_extra,
-                            interpret, chunk=CHUNK, extras_only=False):
+                            interpret, chunk=CHUNK, extras_only=False,
+                            viewer=False):
     aligned_gid, chunk_tile, chunk_rank = bundle[0], bundle[1], bundle[2]
-    packed = flat[aligned_gid].T            # [D, ACAP]
+    # [ACAP, D] slot-major: the gather's natural output layout IS the
+    # kernels' block layout, so neither XLA (a ~200MB relayout copy at 1080p)
+    # nor the kernels (a per-chunk [D,C]→[C,D] transpose) pay a transpose
+    packed = flat[aligned_gid]              # [ACAP, D]
     f = blend_fwd_pallas_aligned(packed, chunk_tile, chunk_rank, num_tiles,
                                  tile, grid_x, n_extra, interpret,
-                                 chunk=chunk, extras_only=extras_only)
+                                 chunk=chunk, extras_only=extras_only,
+                                 viewer=viewer)
     return f.out, f.iout, packed
+
+
+def blend_aligned_viewer(flat, binning_bundle, num_tiles, tile, grid_x,
+                         n_extra, interpret, chunk=CHUNK):
+    """Forward-only viewer blend: color + alpha [+ features]; the depth/
+    normal/median/distortion rows come back zero. Not differentiable — the
+    interactive GUI path never needs gradients."""
+    out, iout, _ = _blend_aligned_fwd_impl(
+        jax.lax.stop_gradient(flat), binning_bundle, num_tiles, tile, grid_x,
+        n_extra, interpret, chunk, viewer=True)
+    return out, iout
 
 
 def _blend_aligned_diff_fwd(flat, bundle, num_tiles, tile, grid_x, n_extra,
@@ -962,11 +998,11 @@ def _blend_aligned_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
     aligned_gid, chunk_tile, chunk_rank = bundle[0], bundle[1], bundle[2]
     gid_order = bundle[3] if len(bundle) > 3 and bundle[3] is not None \
         else None
-    d_packed = blend_bwd_pallas_aligned(packed, gout, saved, iout,
-                                        chunk_tile, chunk_rank, num_tiles,
-                                        tile, grid_x, n_extra, interpret,
-                                        extras_only=extras_only, chunk=chunk)
-    d_aligned = d_packed.T                      # [ACAP, D] or [ACAP, E]
+    d_aligned = blend_bwd_pallas_aligned(packed, gout, saved, iout,
+                                         chunk_tile, chunk_rank, num_tiles,
+                                         tile, grid_x, n_extra, interpret,
+                                         extras_only=extras_only, chunk=chunk)
+    # already [ACAP, D] or [ACAP, E] slot-major — no relayout
     cols = d_aligned.shape[1]
     if gid_order is not None:
         # cached-binning path (frozen geometry): gather the per-slot grads

@@ -52,6 +52,10 @@ class RasterizeConfig:
     # Bigger chunks amortize grid-step overhead at the cost of more per-tile
     # padding and VMEM; must be a multiple of 128.
     pallas_chunk: int = 128
+    # interactive-viewer fast path (pallas impl only): forward-only, emits
+    # color + alpha [+ feature] maps; depth/normal/median/distortion outputs
+    # are ZERO and gradients do not flow. ~40% less kernel work per frame.
+    fwd_viewer: bool = False
 
     def resolved(self, n: int) -> "RasterizeConfig":
         # auto caps are deliberately tight — the sort is O(pair_cap); callers
@@ -69,7 +73,8 @@ class RasterizeConfig:
         tile_cap = ((tile_cap + chunk - 1) // chunk) * chunk
         return RasterizeConfig(self.width, self.height, self.tile, chunk,
                                pair_cap, tile_cap, self.track_contrib, impl,
-                               self.bwd_extras_only, self.pallas_chunk)
+                               self.bwd_extras_only, self.pallas_chunk,
+                               self.fwd_viewer)
 
 
 def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
@@ -77,7 +82,7 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
     """Differentiable aligned-layout Pallas blend → BlendOut
     (tracker unsupported here — track_contrib forces the XLA path)."""
     from .blend import BlendOut as _BlendOut
-    from .blend_pallas import blend_aligned_diff
+    from .blend_pallas import blend_aligned_diff, blend_aligned_viewer
     from .rasterize_pallas import maps_from_pallas
 
     n = pre.T.shape[0]
@@ -93,9 +98,14 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
     flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)],
                            axis=0)
     interp = jax.default_backend() == "cpu"  # tests exercise interpret mode
-    out, iout = blend_aligned_diff(flat, tuple(binning.aligned), num_tiles,
-                                   cfg.tile, grid_x, E, interp,
-                                   cfg.bwd_extras_only, cfg.pallas_chunk)
+    if cfg.fwd_viewer:
+        out, iout = blend_aligned_viewer(flat, tuple(binning.aligned),
+                                         num_tiles, cfg.tile, grid_x, E,
+                                         interp, cfg.pallas_chunk)
+    else:
+        out, iout = blend_aligned_diff(flat, tuple(binning.aligned),
+                                       num_tiles, cfg.tile, grid_x, E, interp,
+                                       cfg.bwd_extras_only, cfg.pallas_chunk)
     maps = maps_from_pallas(out, iout, width, height, cfg.tile, E)
     color = maps["color_nobg"] + maps["final_T"][..., None] * bg
     return _BlendOut(color=color, depth=maps["depth"],

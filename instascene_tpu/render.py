@@ -47,7 +47,8 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
            scaling_modifier: float = 1.0, override_color=None,
            norm_seg_feat: bool = True, track_contrib: bool = False,
            t_offset=None, cfg: Optional[RasterizeConfig] = None,
-           grow_on_drop: bool = True, drop_check: str = "sync") -> dict:
+           grow_on_drop: bool = True, drop_check: str = "sync",
+           viewer: bool = False) -> dict:
     """Render a view of `gaussians` (a GaussianParams pytree or GaussianModel).
 
     Returns dict with reference keys: render, radii, visibility_filter,
@@ -58,7 +59,12 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
     drop_check: "sync" fetches n_dropped after each attempt and retries with
     grown caps until drop-free (training default); "async" checks the
     PREVIOUS same-shape render's count instead — one frame of possible pair
-    drops after a cap overflow, zero host syncs per frame (viewer path)."""
+    drops after a cap overflow, zero host syncs per frame (viewer path).
+
+    viewer=True (interactive GUI path, pallas impl only): forward-only fast
+    kernel — ONLY `render`, `rend_alpha` and `seg_feature` are meaningful;
+    depth/normal/median/distortion outputs are zeros and gradients do not
+    flow."""
     p = gaussians.params if hasattr(gaussians, "params") else gaussians
     n = p.xyz.shape[0]
 
@@ -67,12 +73,14 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
     auto_caps = cfg is None or cfg.pair_cap == 0
     if cfg is None:
         cfg = RasterizeConfig(width=width, height=height,
-                              track_contrib=track_contrib)
+                              track_contrib=track_contrib,
+                              fwd_viewer=viewer)
     else:
         cfg = RasterizeConfig(width=width, height=height, tile=cfg.tile,
                               chunk=cfg.chunk, pair_cap=cfg.pair_cap,
                               tile_cap=cfg.tile_cap,
-                              track_contrib=track_contrib or cfg.track_contrib)
+                              track_contrib=track_contrib or cfg.track_contrib,
+                              fwd_viewer=viewer or cfg.fwd_viewer)
     # auto caps are a heuristic; at high resolutions the true pair count can
     # exceed them (the CUDA reference allocates the exact total dynamically).
     # When the caller didn't pin pair_cap, grow to a sticky high-water cap on
@@ -134,6 +142,27 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
         cfg = dataclasses.replace(cfg, pair_cap=grown,
                                   tile_cap=2 * r.tile_cap)
     b = out.blend
+
+    if cfg.fwd_viewer:
+        # viewer fast path: only color/alpha/features are meaningful — skip
+        # the normal rotation and depth-to-normal postprocessing entirely
+        rend_alpha = b.alpha[..., None]
+        z = jnp.zeros_like(rend_alpha)
+        return {
+            "render": b.color,
+            "radii": out.radii,
+            "visibility_filter": out.visible,
+            "seg_feature": b.extra if seg_feature is not None else None,
+            "gau_related_pixels": None,
+            "rend_alpha": rend_alpha,
+            "rend_normal": jnp.concatenate([z, z, z], axis=-1),
+            "rend_dist": z, "surf_depth": z,
+            "surf_normal": jnp.concatenate([z, z, z], axis=-1),
+            "rend_depth": z, "rend_median_depth": z,
+            "final_T": b.final_T, "n_contrib": b.n_contrib,
+            "n_dropped": out.n_dropped,
+            "gaussian_depth": out.depth, "T": out.T,
+        }
 
     # world-frame normal map: n_world = R_view^T n_view
     rend_normal = jnp.einsum("hwk,kj->hwj", b.normal, cam.w2v[:3, :3])

@@ -98,7 +98,7 @@ class SegmentationEngine:
             return self._frame
         from ..render import render
         pkg = render(cam, self.params, self.pipe, self.bg_color,
-                     drop_check="async")
+                     drop_check="async", viewer=True)
         rgb = np.asarray(pkg["render"])
         feat = np.asarray(pkg["seg_feature"])
         feat = feat / (np.linalg.norm(feat, axis=-1, keepdims=True) + 1e-6)

@@ -59,14 +59,14 @@ def main():
 
     @jax.jit
     def pack_only(s):
-        packed = (flat + s * 1e-20)[aligned_gid].T
+        packed = (flat + s * 1e-20)[aligned_gid]
         return s + packed[0, 0] * 1e-20
 
     print(f"pack gather+T      {chain(pack_only):.1f} ms", flush=True)
 
     @jax.jit
     def kernel_full(s):
-        packed = (flat + s * 1e-20)[aligned_gid].T
+        packed = (flat + s * 1e-20)[aligned_gid]
         f = blend_fwd_pallas_aligned(packed, chunk_tile, chunk_rank,
                                      num_tiles, tile, grid_x, 0)
         return s + f.out[0, 0, 0] * 1e-20
@@ -75,7 +75,7 @@ def main():
 
     @jax.jit
     def kernel_extras(s):
-        packed = (flat + s * 1e-20)[aligned_gid].T
+        packed = (flat + s * 1e-20)[aligned_gid]
         f = blend_fwd_pallas_aligned(packed, chunk_tile, chunk_rank,
                                      num_tiles, tile, grid_x, 0,
                                      extras_only=True)

@@ -277,6 +277,49 @@ def test_cached_binning_matches_fresh(rng):
             assert np.abs(a - b).max() / denom < 1e-5, (impl, nm)
 
 
+def test_viewer_mode_matches_full(rng):
+    """fwd_viewer=True must reproduce the full path's color/alpha/extras
+    exactly (depth/normal/median/distortion are documented zeros)."""
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.models.gaussians import GaussianParams
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              rasterize)
+    from instascene_tpu.utils.general import inverse_sigmoid
+
+    pos = np.array([0.0, -3.5, 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="t", width=W, height=H)
+    n = 60
+    params = GaussianParams(
+        xyz=jnp.asarray(rng.normal(0, 0.5, (n, 3)).astype(np.float32)),
+        features_dc=jnp.asarray(rng.normal(0, 0.3, (n, 1, 3)
+                                           ).astype(np.float32)),
+        features_rest=jnp.zeros((n, 15, 3)),
+        scaling=jnp.asarray(rng.normal(-2.0, 0.3, (n, 2)).astype(np.float32)),
+        rotation=jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+        opacity=jnp.full((n, 1), float(inverse_sigmoid(0.7))),
+        alive=jnp.ones(n, bool),
+        seg_feature=jnp.asarray(rng.random((n, 4)).astype(np.float32)))
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    kwargs = dict(shs=params.features(), sh_degree=0,
+                  extras=params.seg_feature_normed(), alive=params.alive)
+    outs = {}
+    for viewer in (False, True):
+        cfg = RasterizeConfig(width=W, height=H, pair_cap=8192, tile_cap=256,
+                              impl="pallas", fwd_viewer=viewer)
+        outs[viewer] = rasterize(params.xyz, params.scaling_activated(),
+                                 params.rotation_normalized(),
+                                 params.opacity_activated()[:, 0], cm,
+                                 jnp.zeros(3), cfg, **kwargs)
+    for field in ("color", "alpha", "extra", "final_T", "n_contrib"):
+        a = np.asarray(getattr(outs[False].blend, field))
+        b = np.asarray(getattr(outs[True].blend, field))
+        assert np.allclose(a, b, atol=1e-6), field
+    assert np.all(np.asarray(outs[True].blend.distortion) == 0)
+
+
 def test_train_step_impl_parity(rng):
     """One full geometry train_step with impl='pallas' (interpret) must match
     impl='xla': same loss, same updated params."""
