@@ -72,7 +72,7 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
     from instascene_tpu.pipelines.train_semantic import semantic_train_step
 
     rng = np.random.default_rng(1)
-    cams = [camera_tensors(make_cam(i, width, height)) for i in range(4)]
+    cams = [camera_tensors(make_cam(i, width, height)) for i in range(6)]
     segmap = jnp.asarray(rng.integers(0, 40, (height, width)).astype(np.int32))
     opt = OptimizationParams()
     opt_state = init_adam_state(params)
@@ -99,16 +99,49 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
     seg_cs = jnp.cumsum((segmap.reshape(-1) > 0).astype(jnp.int32))
     vis_cs = jnp.cumsum((lab3d > 0).astype(jnp.int32))
 
+    bg = jnp.zeros(3)
+    lam = (jnp.float32(1e-6), jnp.float32(0.0), jnp.float32(2.5e-6))
+
     def one(i, p, s, k):
         ct = cams[i % len(cams)]
         k, sub = jax.random.split(k)
         p, s, loss = semantic_train_step(
             p, s, sub, ct.w2v, ct.full_proj, ct.campos, segmap, segmap,
-            *zeros_mv, lab3d, cf, jnp.zeros(3), lrs,
-            1e-6, 0.0, 2.5e-6, cfg, 32 * 1024, 64, False, False, False, n_mv,
+            *zeros_mv, lab3d, cf, bg, lrs,
+            *lam, cfg, 32 * 1024, 64, False, False, False, n_mv,
             cached_binning=cache[i % len(cams)], mv_cached_binning=mv_cb,
             has_csums=True, seg_csum=seg_cs, sorted_csum=seg_cs,
             vis3d_csum=vis_cs)
+        return p, s, k, loss
+
+    # real multi-view inputs (views 1..5) for the every-10th-iter MV step
+    mv_real_cb = tuple(jnp.stack([cache[v][f] for v in range(1, 1 + n_mv)])
+                       for f in range(len(cache[0])))
+    mv_w2v = jnp.stack([cams[v].w2v for v in range(1, 1 + n_mv)])
+    mv_fp = jnp.stack([cams[v].full_proj for v in range(1, 1 + n_mv)])
+    mv_cp = jnp.stack([cams[v].campos for v in range(1, 1 + n_mv)])
+    mv_seg = jnp.stack([segmap] * n_mv)
+    lam_mv = jnp.float32(1e-6)
+
+    num_tiles = ((width + 15) // 16) * ((height + 15) // 16)
+    mv_k = 128
+    rng_sel = np.random.default_rng(7)
+    sel = jnp.asarray(np.stack([np.sort(rng_sel.choice(
+        num_tiles, mv_k, replace=False)).astype(np.int32)
+        for _ in range(n_mv)]))
+
+    def one_mv(i, p, s, k, tile_sub=0):
+        ct = cams[i % len(cams)]
+        k, sub = jax.random.split(k)
+        p, s, loss = semantic_train_step(
+            p, s, sub, ct.w2v, ct.full_proj, ct.campos, segmap, segmap,
+            mv_w2v, mv_fp, mv_cp, mv_seg, lab3d, cf, bg, lrs,
+            lam[0], lam_mv, lam[2], cfg, 32 * 1024, 64, False, False,
+            True, n_mv,
+            cached_binning=cache[i % len(cams)], mv_cached_binning=mv_real_cb,
+            has_csums=True, seg_csum=seg_cs, sorted_csum=seg_cs,
+            vis3d_csum=vis_cs, mv_tile_count=tile_sub,
+            mv_sel_tiles=sel if tile_sub else None)
         return p, s, k, loss
 
     # compile + warm-up: the first ~5 executions of a fresh program run ~20x
@@ -124,7 +157,34 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
         p, s, k, loss = one(i, p, s, k)
     float(loss)
     dt = time.perf_counter() - t0
-    return iters / dt
+    t_norm = dt / iters
+
+    # the every-10th-iter multi-view step (5 extra feature renders, matching
+    # the reference's train_semantic.py:145-172) — timed separately and
+    # blended 1:9 into the honest sustained rate; also timed with the
+    # tile-subsampled variant (--mv_tile_subsample 128)
+    def time_mv(tile_sub):
+        nonlocal p, s, k
+        p, s, k, loss = one_mv(0, p, s, k, tile_sub)
+        float(loss)
+        for i in range(max(4, WARMUP_ITERS // 2)):
+            p, s, k, loss = one_mv(i, p, s, k, tile_sub)
+        float(loss)
+        t0 = time.perf_counter()
+        n_mv_iters = max(5, iters // 3)
+        for i in range(n_mv_iters):
+            p, s, k, loss = one_mv(i, p, s, k, tile_sub)
+        float(loss)
+        return (time.perf_counter() - t0) / n_mv_iters
+
+    t_mv = t_mv_sub = None
+    try:
+        t_mv = time_mv(0)
+        t_mv_sub = time_mv(mv_k)
+    except Exception:
+        pass
+    blend = lambda t: (1.0 / (0.9 * t_norm + 0.1 * t)) if t else None
+    return 1.0 / t_norm, blend(t_mv), blend(t_mv_sub)
 
 
 def bench_geometry(params, make_cam, width=976, height=728, iters=10):
@@ -157,12 +217,14 @@ def bench_geometry(params, make_cam, width=976, height=728, iters=10):
                // gran * gran)
     cfg = RasterizeConfig(width=width, height=height, pair_cap=snug)
     dummy = jnp.zeros(1)
+    bg = jnp.zeros(3)
+    lam = tuple(jnp.float32(v) for v in (0.2, 0.0, 0.05, 0.0))
 
     def one(i, p, o, s):
         ct = cams[i % len(cams)]
         return train_step(p, o, s, ct.w2v, ct.full_proj, ct.campos,
-                          ct.c2w_rot, gt, dummy, dummy, jnp.zeros(3), lrs,
-                          0.2, 0.0, 0.05, 0.0, cfg, ct.tanfovx, ct.tanfovy,
+                          ct.c2w_rot, gt, dummy, dummy, bg, lrs,
+                          *lam, cfg, ct.tanfovx, ct.tanfovy,
                           1.0, False)
 
     p, o, s, m = one(0, params, opt_state, stats)
@@ -239,8 +301,16 @@ def main():
     extra = {}
     sem_its = None
     try:
-        sem_its = bench_semantic(params, make_cam,
-                                 iters=int(os.environ.get("BENCH_ITERS", 20)))
+        sem_its, with_mv, with_mv_sub = bench_semantic(
+            params, make_cam, iters=int(os.environ.get("BENCH_ITERS", 20)))
+        if with_mv:
+            # honest sustained rate incl. the every-10th-iter multi-view step
+            # (the A100 baseline's 20-min wall-clock includes those too)
+            extra["semantic_with_mv_its"] = round(with_mv, 3)
+        if with_mv_sub:
+            # same, with the tile-subsampled MV variant (mv_tile_subsample
+            # 128 — renders 128 tiles/view instead of 5 full images)
+            extra["semantic_with_mv_subsampled_its"] = round(with_mv_sub, 3)
     except Exception as e:  # keep the JSON line coming no matter what
         extra["semantic_error"] = f"{type(e).__name__}: {e}"[:200]
     try:

@@ -87,6 +87,12 @@ class OptimizationParams:
     seg_feature_lr: float = 0.025
     sample_batchsize: int = 32 * 1024
     sample_mv_frames: int = 5
+    # TPU addition (no reference flag): when > 0, the every-10th-iter
+    # multi-view contrastive loss renders only this many uniformly sampled
+    # tiles per view through mini aligned bundles instead of the 5 full
+    # images (~10x less multi-view render work; two-stage uniform pixel
+    # sampling, slightly higher gradient variance). 0 = reference-exact.
+    mv_tile_subsample: int = 0
     percent_dense: float = 0.01
     lambda_dssim: float = 0.2
     lambda_dist: float = 0.0

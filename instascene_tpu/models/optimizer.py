@@ -39,22 +39,35 @@ def init_adam_state(params: GaussianParams) -> AdamState:
     return AdamState(m=z, v=z, count=jnp.zeros((), jnp.int32))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8192)
+def dev_scalar(v: float) -> jnp.ndarray:
+    """Memoized device f32 scalar. Python floats passed to a jitted step pay
+    one DevicePut per CALL (~0.2 ms each over the tunnel; a train step passes
+    ~10 of them). Routing repeated values through this cache reuses one
+    committed device buffer, so only genuinely changing scalars (e.g. the
+    per-iter xyz LR) still transfer."""
+    return jnp.float32(v)
+
+
 def geometry_lrs(opt, spatial_lr_scale: float, xyz_lr: float) -> Dict[str, float]:
     """LR dict for geometry training (gaussian_model.py:240-247). `xyz_lr`
     is the already-scheduled value (incl. spatial scale)."""
-    return {"xyz": xyz_lr,
-            "features_dc": opt.feature_lr,
-            "features_rest": opt.feature_lr / 20.0,
-            "opacity": opt.opacity_lr,
-            "scaling": opt.scaling_lr,
-            "rotation": opt.rotation_lr,
-            "seg_feature": 0.0}
+    return {"xyz": dev_scalar(xyz_lr),
+            "features_dc": dev_scalar(opt.feature_lr),
+            "features_rest": dev_scalar(opt.feature_lr / 20.0),
+            "opacity": dev_scalar(opt.opacity_lr),
+            "scaling": dev_scalar(opt.scaling_lr),
+            "rotation": dev_scalar(opt.rotation_lr),
+            "seg_feature": dev_scalar(0.0)}
 
 
 def semantic_lrs(opt) -> Dict[str, float]:
     """Only seg_feature trains (gaussian_model.py:217-232)."""
-    return {f: 0.0 for f in TRAINABLE_FIELDS} | {
-        "seg_feature": opt.seg_feature_lr}
+    return {f: dev_scalar(0.0) for f in TRAINABLE_FIELDS} | {
+        "seg_feature": dev_scalar(opt.seg_feature_lr)}
 
 
 def adam_step(params: GaussianParams, grads: GaussianParams, state: AdamState,

@@ -51,6 +51,11 @@ class AlignedLayout(NamedTuple):
     gid_order        [aligned_cap]  slot ids sorted by gaussian id (stable)
     gauss_offsets    [N+1]          exclusive slot-count prefix per gaussian
     gauss_csum       [N+1]          inclusive slot-count prefix per gaussian
+    tile_chunk_start [num_tiles+1]  first chunk index per tile (real chunks
+                                    are tile-ascending, so tile t owns chunks
+                                    [start[t], start[t+1])); cache-build-time
+                                    extra enabling tile-subset mini bundles
+                                    (select_tiles_bundle)
     """
     aligned_gid: jnp.ndarray
     chunk_tile: jnp.ndarray
@@ -58,6 +63,84 @@ class AlignedLayout(NamedTuple):
     gid_order: Optional[jnp.ndarray] = None
     gauss_offsets: Optional[jnp.ndarray] = None
     gauss_csum: Optional[jnp.ndarray] = None
+    tile_chunk_start: Optional[jnp.ndarray] = None
+
+
+def select_tiles_bundle(aligned_gid: jnp.ndarray,
+                        tile_chunk_start: jnp.ndarray,
+                        sel_tiles: jnp.ndarray, chunk_cap: int, n: int,
+                        align: int = ALIGN):
+    """Mini aligned bundle covering only `sel_tiles` (sorted ascending, K
+    tiles) of a cached binning — the same kernels then render just those
+    tiles' chunks, writing only their rows of the full [num_tiles, ...]
+    output (unselected rows are never visited NOR read downstream).
+
+    Returns (mini_gid [chunk_cap*align + K*align], mini_tile, mini_rank,
+    n_trunc): the extra K chunks at the tail carry the init-only rank for
+    selected-but-empty tiles (kernels zero their output rows) and the skip
+    rank otherwise. Chunks beyond chunk_cap are truncated DEEPEST-first per
+    tile (they sit behind the earlier chunks in blend order, where
+    transmittance is lowest); n_trunc counts them.
+
+    This powers the tile-subsampled multi-view contrastive loss — an
+    opt-in TPU-native speedup with no reference equivalent (the reference
+    renders all five full views every 10th iteration,
+    train_semantic.py:145-172)."""
+    K = sel_tiles.shape[0]
+    n_chunks_mini = chunk_cap + K
+    per_tile_cap = max(chunk_cap // K, 1)
+    starts = tile_chunk_start[sel_tiles]                     # [K]
+    cnt_full = tile_chunk_start[sel_tiles + 1] - starts      # [K]
+    cnt = jnp.minimum(cnt_full, per_tile_cap)                # per-tile clamp
+    off_incl = jnp.cumsum(cnt)
+    off = off_incl - cnt                                     # exclusive
+    total_mini = off_incl[-1]
+    n_trunc = jnp.sum(cnt_full - cnt)
+
+    j = jnp.arange(chunk_cap, dtype=jnp.int32)
+    t_idx = jnp.searchsorted(off_incl, j, side="right").astype(jnp.int32)
+    t_idx = jnp.clip(t_idx, 0, K - 1)
+    rank = j - off[t_idx]
+    valid = j < total_mini
+    src_chunk = starts[t_idx] + rank
+    # leftover slots between the real run and the tail: pin to the FIRST
+    # empty tile when empties exist (its init-only chunk comes right after,
+    # keeping that block's visits consecutive), else to the last real tile
+    empty = cnt == 0
+    n_empty = jnp.sum(empty.astype(jnp.int32))
+    last_t = sel_tiles[jnp.clip(t_idx[jnp.maximum(total_mini - 1, 0)],
+                                0, K - 1)]
+    first_empty = jnp.min(jnp.where(empty, sel_tiles, jnp.int32(2 ** 30)))
+    leftover_pin = jnp.where(n_empty > 0, first_empty, last_t)
+    mini_tile = jnp.where(valid, sel_tiles[t_idx], leftover_pin)
+    mini_rank = jnp.where(valid, rank, n_chunks_mini)
+    # K tail chunks: init-only for selected-but-empty tiles (they own no
+    # real chunk, so nothing else zero-initializes their output row). The
+    # empties are COMPACTED to the front of the tail, ascending, and the
+    # remaining skip slots all pin to the last empty (or last real) tile —
+    # interleaving skips between empty inits would split a block's visit
+    # run, and Pallas TPU flushes stale VMEM over it (same invariant as
+    # bin_gaussians' leftover-chunk rule).
+    e_rank = jnp.cumsum(empty.astype(jnp.int32)) - empty.astype(jnp.int32)
+    tile_of_rank = jnp.full((K,), -1, jnp.int32).at[
+        jnp.where(empty, e_rank, K)].set(sel_tiles, mode="drop")
+    last_empty = jnp.max(jnp.where(empty, sel_tiles, -1))
+    pin = jnp.where(n_empty > 0, jnp.maximum(last_empty, 0), last_t)
+    kk = jnp.arange(K, dtype=jnp.int32)
+    in_empty = kk < n_empty
+    tail_tile = jnp.where(in_empty, tile_of_rank[kk], pin)
+    tail_rank = jnp.where(in_empty, n_chunks_mini + 1, n_chunks_mini)
+    mini_tile = jnp.concatenate([mini_tile, tail_tile])
+    mini_rank = jnp.concatenate([mini_rank, tail_rank])
+
+    lane = jnp.arange(align, dtype=jnp.int32)
+    slot_src = (src_chunk[:, None] * align + lane[None, :]).reshape(-1)
+    gid = jnp.where(jnp.repeat(valid, align),
+                    aligned_gid[jnp.clip(slot_src, 0,
+                                         aligned_gid.shape[0] - 1)], n)
+    gid = jnp.concatenate([gid, jnp.full((K * align,), n, jnp.int32)])
+    return (gid.astype(jnp.int32), mini_tile.astype(jnp.int32),
+            mini_rank.astype(jnp.int32), n_trunc)
 
 
 def chain_reduce_indices(aligned_gid: jnp.ndarray, n: int):
@@ -284,7 +367,9 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         aligned = AlignedLayout(
             aligned_gid=aligned_gid.astype(jnp.int32),
             chunk_tile=chunk_tile.astype(jnp.int32),
-            chunk_rank=jnp.clip(chunk_rank, 0, n_chunks + 1).astype(jnp.int32))
+            chunk_rank=jnp.clip(chunk_rank, 0, n_chunks + 1).astype(jnp.int32),
+            tile_chunk_start=jnp.concatenate(
+                [astart_chunks, total_chunks[None]]).astype(jnp.int32))
 
     # pairs dropped: beyond pair_cap (plus per-tile beyond tile_cap for padded)
     n_dropped = jnp.maximum(total - pair_cap, 0)

@@ -239,7 +239,8 @@ def _binning_cache_impl(xyz, scales, rotations, alive, w2v, full_proj, campos,
         # cumsum + segment diff instead of a scatter-add (~1.6x faster)
         from .binning import chain_reduce_indices
         chain = chain_reduce_indices(b.aligned.aligned_gid, xyz.shape[0])
-        return tuple(b.aligned)[:3] + chain, b.tile_count, b.n_dropped
+        return (tuple(b.aligned)[:3] + chain
+                + (b.aligned.tile_chunk_start,)), b.tile_count, b.n_dropped
     return ((b.tile_indices, b.tile_count.astype(jnp.int32)),
             b.tile_count, b.n_dropped)
 

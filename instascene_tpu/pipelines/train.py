@@ -320,13 +320,17 @@ class GeometryTrainer:
             has_prior = ct.normal_prior is not None
 
             cfg = self._cfg(cam_obj)
+            from ..models.optimizer import dev_scalar
+            if not hasattr(self, "_dummy1"):
+                self._dummy1 = jnp.zeros(1)
             self.params, self.opt_state, self.stats, metrics = train_step(
                 self.params, self.opt_state, self.stats,
                 ct.w2v, ct.full_proj, ct.campos, ct.c2w_rot, ct.gt_image,
-                ct.normal_prior if has_prior else jnp.zeros(1),
-                ct.normal_mask if has_prior else jnp.zeros(1),
-                self.bg, lrs, opt.lambda_dssim, lam_dist, lam_normal,
-                lam_prior, cfg, ct.tanfovx, ct.tanfovy,
+                ct.normal_prior if has_prior else self._dummy1,
+                ct.normal_mask if has_prior else self._dummy1,
+                self.bg, lrs, dev_scalar(opt.lambda_dssim),
+                dev_scalar(lam_dist), dev_scalar(lam_normal),
+                dev_scalar(lam_prior), cfg, ct.tanfovx, ct.tanfovy,
                 float(self.pipe.depth_ratio), has_prior)
 
         if iteration % 50 == 1:

@@ -101,7 +101,8 @@ def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
 
 @partial(jax.jit, static_argnames=("cfg", "batch", "max_labels",
                                    "consider_negative", "has_class_feat",
-                                   "do_multiview", "n_mv", "has_csums"))
+                                   "do_multiview", "n_mv", "has_csums",
+                                   "mv_tile_count"))
 def semantic_train_step(params, opt_state, key,
                         w2v, full_proj, campos, segmap, sorted_segmap,
                         mv_w2v, mv_full_proj, mv_campos, mv_sorted_segmaps,
@@ -112,7 +113,8 @@ def semantic_train_step(params, opt_state, key,
                         do_multiview: bool, n_mv: int,
                         cached_binning=None, mv_cached_binning=None,
                         has_csums: bool = False, seg_csum=None,
-                        sorted_csum=None, vis3d_csum=None):
+                        sorted_csum=None, vis3d_csum=None,
+                        mv_tile_count: int = 0, mv_sel_tiles=None):
     cam = CameraMats(w2v, full_proj, campos)
     cf = class_feat if has_class_feat else None
 
@@ -126,7 +128,51 @@ def semantic_train_step(params, opt_state, key,
             consider_negative, has_csums, seg_csum, sorted_csum, vis3d_csum)
 
         # multi-view over n_mv consecutive views every 10th iter (:145-172)
-        if do_multiview:
+        if do_multiview and mv_tile_count > 0:
+            # tile-subsampled variant (TPU addition, no reference
+            # equivalent): uniformly pre-sampled tiles per view are rendered
+            # through mini aligned bundles — two-stage cluster sampling of
+            # the same pixel population (tiles are equal-sized, so
+            # tile-then-pixel uniform sampling is uniform over pixels);
+            # ~10x less multi-view render work at somewhat higher gradient
+            # variance. Enable with --mv_tile_subsample K.
+            from ..ops.binning import select_tiles_bundle
+            if mv_cached_binning is None or len(mv_cached_binning) < 7:
+                raise ValueError(
+                    "mv_tile_subsample requires the aligned (pallas) binning "
+                    "cache — set pipe.rasterizer_impl='pallas' or run on a "
+                    "non-CPU backend")
+            K = mv_tile_count
+            tile = cfg.tile
+            grid_x = (cfg.width + tile - 1) // tile
+            n = params.capacity
+            lane = jnp.arange(tile * tile, dtype=jnp.int32)
+            px = lane % tile
+            py = lane // tile
+
+            feats, labels = [], []
+            for i in range(n_mv):
+                mcam = CameraMats(mv_w2v[i], mv_full_proj[i], mv_campos[i])
+                sel = mv_sel_tiles[i]
+                gid, mtile, mrank, _ = select_tiles_bundle(
+                    mv_cached_binning[0][i], mv_cached_binning[6][i], sel,
+                    chunk_cap=K * 12, n=n)
+                o = render_features(params, mcam, bg, cfg, seg_feature,
+                                    (gid, mtile, mrank))
+                ty, tx = sel // grid_x, sel % grid_x
+                flat_idx = ((ty[:, None] * tile + py[None, :]) * cfg.width
+                            + tx[:, None] * tile + px[None, :]).reshape(-1)
+                E = seg_feature.shape[1]
+                feats.append(o.blend.extra.reshape(-1, E)[flat_idx])
+                labels.append(mv_sorted_segmaps[i].reshape(-1)[flat_idx])
+            feats_mv = jnp.concatenate(feats)
+            labels_mv = jnp.concatenate(labels)
+            k, sub = jax.random.split(k)
+            idx, any_valid = sample_valid_pixels(sub, labels_mv > 0, batch)
+            cl = contrastive_loss(feats_mv[idx], labels_mv[idx], max_labels,
+                                  predef_u=cf)
+            total = total + jnp.where(any_valid, cl, 0.0) * lam_mv
+        elif do_multiview:
             def render_one(i):
                 mcam = CameraMats(mv_w2v[i], mv_full_proj[i], mv_campos[i])
                 cb = (None if mv_cached_binning is None else
@@ -436,6 +482,22 @@ class SegSplatting:
               if has_cf else jnp.zeros((max_labels,
                                         self.dataset.seg_feat_dim)))
         zeros_map = jnp.zeros_like(jnp.asarray(self.cam_objs[0].segmap))
+        # per-camera DEVICE segmap cache: uploading the [H,W] maps on every
+        # step costs ~1ms each over the tunnel; they are training-constant
+        dev_seg = {}
+
+        def seg_dev(v, sorted_=False):
+            key = (v, sorted_)
+            if key not in dev_seg:
+                m = (self.cam_objs[v].sorted_segmap if sorted_
+                     else self.cam_objs[v].segmap)
+                dev_seg[key] = jnp.asarray(m) if m is not None else zeros_map
+            return dev_seg[key]
+
+        from ..models.optimizer import dev_scalar
+        lam_sv = dev_scalar(opt.lambda_singview_contras)
+        lam_mv = dev_scalar(opt.lambda_multiview_contras)
+        lam_3d = dev_scalar(opt.lambda_3D_contras)
         stack = []
         bar = tqdm(range(1, iterations + 1), desc="Contrastive",
                    disable=not progress)
@@ -449,12 +511,15 @@ class SegSplatting:
                 width=int(cam_obj.width), height=int(cam_obj.height),
                 bwd_extras_only=True,
                 impl=getattr(self.pipe, "rasterizer_impl", "auto"))
-            segmap = (jnp.asarray(cam_obj.segmap)
-                      if cam_obj.segmap is not None else zeros_map)
-            sorted_segmap = (jnp.asarray(cam_obj.sorted_segmap)
-                             if cam_obj.sorted_segmap is not None else zeros_map)
+            segmap = seg_dev(ci)
+            sorted_segmap = seg_dev(ci, True)
             do_mv = (opt.lambda_multiview_contras > 0 and it % 10 == 0)
+            mv_k = int(getattr(opt, "mv_tile_subsample", 0))
+            num_tiles = (((int(cam_obj.width) + 15) // 16)
+                         * ((int(cam_obj.height) + 15) // 16))
+            mv_k = min(mv_k, num_tiles)
             cb = self.binning_cache[ci]
+            mv_sel = None
             if do_mv:
                 v0 = self.rng.randint(0, len(self.cams) - n_mv - 1)
                 mv = [self.cams[v] for v in range(v0, v0 + n_mv)]
@@ -462,13 +527,16 @@ class SegSplatting:
                 mv_fp = jnp.stack([m.full_proj for m in mv])
                 mv_cp = jnp.stack([m.campos for m in mv])
                 mv_seg = jnp.stack(
-                    [jnp.asarray(self.cam_objs[v].sorted_segmap)
-                     if self.cam_objs[v].sorted_segmap is not None
-                     else zeros_map for v in range(v0, v0 + n_mv)])
+                    [seg_dev(v, True) for v in range(v0, v0 + n_mv)])
                 mv_cb = tuple(
                     jnp.stack([self.binning_cache[v][f]
                                for v in range(v0, v0 + n_mv)])
                     for f in range(len(self.binning_cache[0])))
+                if mv_k:
+                    mv_sel = jnp.asarray(np.stack(
+                        [np.sort(np.asarray(
+                            self.rng.sample(range(num_tiles), mv_k),
+                            np.int32)) for _ in range(n_mv)]))
             else:
                 if not hasattr(self, "_mv_dummy"):
                     self._mv_dummy = (
@@ -485,12 +553,12 @@ class SegSplatting:
                 ct.w2v, ct.full_proj, ct.campos, segmap, sorted_segmap,
                 mv_w2v, mv_fp, mv_cp, mv_seg,
                 self.seg3d_labels_padded, cf, self.bg, lrs,
-                opt.lambda_singview_contras, opt.lambda_multiview_contras,
-                opt.lambda_3D_contras, cfg, int(opt.sample_batchsize),
+                lam_sv, lam_mv, lam_3d, cfg, int(opt.sample_batchsize),
                 max_labels, bool(opt.consider_negative_labels), has_cf,
                 do_mv, n_mv, cached_binning=cb, mv_cached_binning=mv_cb,
                 has_csums=True, seg_csum=seg_cs[ci],
-                sorted_csum=sorted_cs[ci], vis3d_csum=vis_cs[ci])
+                sorted_csum=sorted_cs[ci], vis3d_csum=vis_cs[ci],
+                mv_tile_count=mv_k if do_mv else 0, mv_sel_tiles=mv_sel)
             if it % 10 == 0:
                 bar.set_postfix({"ContraLoss": f"{float(loss):.3f}"})
             if it % save_every == 0 or it == iterations:

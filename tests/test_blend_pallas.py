@@ -277,6 +277,95 @@ def test_cached_binning_matches_fresh(rng):
             assert np.abs(a - b).max() / denom < 1e-5, (impl, nm)
 
 
+def test_select_tiles_bundle_matches_full(rng):
+    """Rendering through a tile-subset mini bundle must reproduce the full
+    render exactly on the selected tiles (gradients included)."""
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.models.gaussians import GaussianParams
+    from instascene_tpu.ops.binning import select_tiles_bundle
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              compute_binning_cache,
+                                              rasterize)
+    from instascene_tpu.utils.general import inverse_sigmoid
+
+    pos = np.array([0.0, -3.5, 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="t", width=W, height=H)
+    n = 70
+    params = GaussianParams(
+        xyz=jnp.asarray(rng.normal(0, 0.5, (n, 3)).astype(np.float32)),
+        features_dc=jnp.asarray(rng.normal(0, 0.3, (n, 1, 3)
+                                           ).astype(np.float32)),
+        features_rest=jnp.zeros((n, 15, 3)),
+        scaling=jnp.asarray(rng.normal(-2.0, 0.3, (n, 2)).astype(np.float32)),
+        rotation=jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+        opacity=jnp.full((n, 1), float(inverse_sigmoid(0.7))),
+        alive=jnp.ones(n, bool),
+        seg_feature=jnp.asarray(rng.random((n, 4)).astype(np.float32)))
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    cfg = RasterizeConfig(width=W, height=H, pair_cap=8192, tile_cap=256,
+                          impl="pallas")
+    cb, tc, nd = compute_binning_cache(params, cm, W, H, pair_cap=8192,
+                                       tile_cap=256, impl="pallas")
+    kwargs = dict(shs=params.features(), sh_degree=0,
+                  extras=params.seg_feature_normed(), alive=params.alive)
+
+    def run(cb_arg):
+        return rasterize(params.xyz, params.scaling_activated(),
+                         params.rotation_normalized(),
+                         params.opacity_activated()[:, 0], cm, jnp.zeros(3),
+                         cfg, cached_binning=cb_arg, **kwargs)
+
+    full = run(cb)
+    num_tiles = (W // TILE) * (H // TILE)   # 3x2 grid at 48x32
+    # select a mix incl. (likely) an empty corner tile
+    sel = jnp.asarray(sorted(rng.choice(num_tiles, size=3, replace=False)),
+                      dtype=jnp.int32)
+    gid, mtile, mrank, n_trunc = select_tiles_bundle(
+        cb[0], cb[6], sel, chunk_cap=3 * 48, n=n)
+    assert int(n_trunc) == 0
+    mini = run((gid, mtile, mrank))
+
+    def tile_pixels(img, t):
+        gx = W // TILE
+        ty, tx = t // gx, t % gx
+        return np.asarray(img[ty * TILE:(ty + 1) * TILE,
+                              tx * TILE:(tx + 1) * TILE])
+
+    for t in np.asarray(sel):
+        assert np.allclose(tile_pixels(full.blend.color, t),
+                           tile_pixels(mini.blend.color, t), atol=1e-6), t
+        assert np.allclose(tile_pixels(full.blend.extra, t),
+                           tile_pixels(mini.blend.extra, t), atol=1e-6), t
+
+    # gradients through the mini render must equal the full render's grads
+    # restricted to the selected tiles' pixels (gathered, not masked —
+    # unselected tiles hold unwritten garbage in the mini output)
+    gx = W // TILE
+    idx = []
+    for t in np.asarray(sel):
+        ty, tx = t // gx, t % gx
+        for py in range(TILE):
+            for px in range(TILE):
+                idx.append((ty * TILE + py) * W + tx * TILE + px)
+    idx = jnp.asarray(np.asarray(idx, np.int32))
+
+    def loss(cb_arg, x):
+        out = rasterize(x, params.scaling_activated(),
+                        params.rotation_normalized(),
+                        params.opacity_activated()[:, 0], cm, jnp.zeros(3),
+                        cfg, cached_binning=cb_arg, **kwargs)
+        pool = out.blend.extra.reshape(-1, out.blend.extra.shape[-1])[idx]
+        return jnp.sum(pool ** 2)
+
+    gf = jax.grad(loss, argnums=1)(cb, params.xyz)
+    gm = jax.grad(loss, argnums=1)((gid, mtile, mrank), params.xyz)
+    denom = np.abs(np.asarray(gf)).max() + 1e-8
+    assert np.abs(np.asarray(gf) - np.asarray(gm)).max() / denom < 1e-5
+
+
 def test_viewer_mode_matches_full(rng):
     """fwd_viewer=True must reproduce the full path's color/alpha/extras
     exactly (depth/normal/median/distortion are documented zeros)."""

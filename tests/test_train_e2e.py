@@ -107,6 +107,19 @@ def test_semantic_pipeline_e2e(e2e_scene, tmp_path):
 
     seg.train_segfeat(iterations=30, progress=False, save_every=10_000)
 
+    # tile-subsampled multi-view variant must drive the same loop (12-tile
+    # grid at 64x48; select 6/view; aligned cache => pallas impl) and keep
+    # features finite
+    seg.opt.mv_tile_subsample = 6
+    seg.pipe.rasterizer_impl = "pallas"
+    if hasattr(seg, "binning_cache"):
+        del seg.binning_cache   # force aligned-layout rebuild
+    seg.train_segfeat(iterations=10, progress=False, save_every=10_000)
+    seg.opt.mv_tile_subsample = 0
+    seg.pipe.rasterizer_impl = "auto"
+    del seg.binning_cache
+    assert np.isfinite(np.asarray(seg.params.seg_feature)).all()
+
     # features of same-instance gaussians should be closer than cross-instance
     import jax.numpy as jnp
     feats = np.asarray(seg.params.seg_feature_normed())[:len(labels)]
