@@ -213,7 +213,7 @@ def bench_geometry(params, make_cam, width=976, height=728, iters=10):
         params, CameraMats(cams[0].w2v, cams[0].full_proj, cams[0].campos),
         width, height, impl="xla")
     gran = 256 * 1024
-    snug = max(gran, (int(jnp.sum(tc0)) * 135 // 100 + gran - 1)
+    snug = max(gran, (int(jnp.sum(tc0)) * 125 // 100 + gran - 1)
                // gran * gran)
     cfg = RasterizeConfig(width=width, height=height, pair_cap=snug)
     dummy = jnp.zeros(1)

@@ -57,11 +57,19 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     ], axis=1)
 
 
-def ndc2pix_rows(width: int, height: int) -> jnp.ndarray:
-    return jnp.array([
+def ndc2pix_rows(width: int, height: int, y_offset=None) -> jnp.ndarray:
+    """NDC→pixel rows. `y_offset` (traced scalar ok) shifts the pixel-y
+    origin: a horizontal slab [y_offset, y_offset+h_local) of a full
+    `height`-tall image renders in local coordinates — the basis of
+    image-space (tile-slab) sharded rendering, where each device folds its
+    slab offset into T instead of touching the kernels."""
+    m = jnp.array([
         [width / 2.0, 0, 0, (width - 1) / 2.0],
         [0, height / 2.0, 0, (height - 1) / 2.0],
         [0, 0, 0, 1.0]], dtype=jnp.float32)
+    if y_offset is not None:
+        m = m.at[1, 3].add(-jnp.asarray(y_offset, jnp.float32))
+    return m
 
 
 def preprocess_gaussians(
@@ -77,7 +85,12 @@ def preprocess_gaussians(
         sh_degree: int = 0,
         scale_modifier: float = 1.0,
         tile: int = 16,
-        alive: Optional[jnp.ndarray] = None) -> PreprocessOut:
+        alive: Optional[jnp.ndarray] = None,
+        y_offset=None,                # traced ok: slab origin in pixels
+        full_height: Optional[int] = None) -> PreprocessOut:
+    """`y_offset`/`full_height`: render a horizontal slab of a
+    `full_height`-tall image into local [0, height) pixel rows — the NDC
+    mapping uses the full image, the AABB/tile clamps the local slab."""
     n = xyz.shape[0]
     f32 = jnp.float32
     xyz = xyz.astype(f32)
@@ -95,7 +108,8 @@ def preprocess_gaussians(
     normal_world = R[:, :, 2]
 
     # T = ndc2pix @ full_proj @ splat2world  (forward.cu:99-112)
-    n2p_full = ndc2pix_rows(width, height) @ full_proj.astype(f32)  # [3,4]
+    n2p_full = ndc2pix_rows(width, full_height or height, y_offset
+                            ) @ full_proj.astype(f32)  # [3,4]
     # S2W[n] columns: [axis_u;0], [axis_v;0], [xyz;1]  → contract explicitly
     Tu_col = jnp.einsum('nk,jk->nj', axis_u, n2p_full[:, :3], precision=_HI)
     Tv_col = jnp.einsum('nk,jk->nj', axis_v, n2p_full[:, :3], precision=_HI)

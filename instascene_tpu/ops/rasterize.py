@@ -126,14 +126,16 @@ class RasterizeOut(NamedTuple):
     total_pairs: jnp.ndarray  # [] int32 true (gaussian, tile) pair count
 
 
-@partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cfg"))
+@partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cfg",
+                                   "full_height"))
 def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                     campos, bg, colors, shs, extras, t_offset, alive,
                     cached_binning, width, height, sh_degree,
-                    cfg: RasterizeConfig):
+                    cfg: RasterizeConfig, y_offset=None, full_height=None):
     pre = preprocess_gaussians(
         means3d, scales, rotations, w2v, full_proj, campos, width, height,
-        color=colors, shs=shs, sh_degree=sh_degree, tile=cfg.tile, alive=alive)
+        color=colors, shs=shs, sh_degree=sh_degree, tile=cfg.tile, alive=alive,
+        y_offset=y_offset, full_height=full_height)
     if cached_binning is not None:
         # frozen-geometry fast path (semantic training): the per-camera tile
         # lists are constant, so the expand+sort is skipped entirely.
@@ -198,19 +200,22 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
               extras: Optional[jnp.ndarray] = None,
               t_offset: Optional[jnp.ndarray] = None,
               alive: Optional[jnp.ndarray] = None,
-              cached_binning=None) -> RasterizeOut:
+              cached_binning=None, y_offset=None,
+              full_height: Optional[int] = None) -> RasterizeOut:
     """Rasterize 2D Gaussian surfels.
 
     means3d [N,3]; scales [N,2] (activated); rotations [N,4] (w,x,y,z);
     opacities [N] or [N,1] (activated); exactly one of colors [N,3] / shs
     [N,K,3]; extras [N,E] optional feature channels; t_offset [N,3,3] optional
-    zero tensor for densification gradients."""
+    zero tensor for densification gradients. y_offset/full_height (slab
+    rendering): render pixel rows [y_offset, y_offset+cfg.height) of a
+    full_height-tall image — the basis of image-space sharded rendering."""
     cfg = cfg.resolved(means3d.shape[0])
     return _rasterize_impl(means3d, scales, rotations, opacities,
                            cam.w2v, cam.full_proj, cam.campos, bg,
                            colors, shs, extras, t_offset, alive,
                            cached_binning, cfg.width, cfg.height, sh_degree,
-                           cfg)
+                           cfg, y_offset, full_height)
 
 
 def densify_screen_grad(t_grad: jnp.ndarray, depth: jnp.ndarray,

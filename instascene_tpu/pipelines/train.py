@@ -250,10 +250,11 @@ class GeometryTrainer:
             self._pair_cap = cur * 2
         elif self._pair_cap == 0:
             # snug 256k-granular cap: every binning stage (sort, scatters,
-            # cumsums) is O(pair_cap), and 1.35x headroom absorbs normal
-            # densification growth between the 50-iter adapt checks
+            # cumsums) is O(pair_cap), and 1.25x headroom absorbs normal
+            # densification growth between the 50-iter adapt checks (any
+            # overflow doubles the cap on the next check)
             gran = 256 * 1024
-            cap = max(gran, (int(total * 1.35) + gran - 1) // gran * gran)
+            cap = max(gran, (int(total * 1.25) + gran - 1) // gran * gran)
             default = max(64 * 1024, 4 * self.params.capacity)
             if cap < default:
                 self._pair_cap = cap

@@ -22,6 +22,59 @@ def test_sharded_knn_matches_local(rng):
     assert np.allclose(got, want, rtol=1e-4)
 
 
+def test_sharded_render_matches_single(rng):
+    """8-way tile-slab sharded render must reproduce the single-device frame
+    exactly (each device renders its own horizontal slab; the slab offset is
+    folded into the splat homography)."""
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.data.synthetic import look_at
+    from instascene_tpu.models.gaussians import GaussianParams
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              rasterize)
+    from instascene_tpu.parallel.data_parallel import make_mesh
+    from instascene_tpu.parallel.render_sharded import build_sharded_render
+    from instascene_tpu.utils.general import inverse_sigmoid
+
+    W8, H8 = 64, 8 * 16   # one 16px tile row per device
+    pos = np.array([0.0, -3.5, 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.9,
+                 image_name="t", width=W8, height=H8)
+    n = 60
+    params = GaussianParams(
+        xyz=jnp.asarray(rng.normal(0, 0.6, (n, 3)).astype(np.float32)),
+        features_dc=jnp.asarray(rng.normal(0, 0.3, (n, 1, 3)
+                                           ).astype(np.float32)),
+        features_rest=jnp.zeros((n, 15, 3)),
+        rotation=jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+        scaling=jnp.asarray(rng.normal(-1.8, 0.3, (n, 2)).astype(np.float32)),
+        opacity=jnp.full((n, 1), float(inverse_sigmoid(0.7))),
+        alive=jnp.ones(n, bool),
+        seg_feature=jnp.asarray(rng.random((n, 4)).astype(np.float32)))
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    cfg = RasterizeConfig(width=W8, height=H8, pair_cap=16384, tile_cap=512)
+    want = rasterize(params.xyz, params.scaling_activated(),
+                     params.rotation_normalized(),
+                     params.opacity_activated()[:, 0], cm, jnp.zeros(3),
+                     cfg, shs=params.features(), sh_degree=3,
+                     extras=params.seg_feature_normed())
+
+    mesh = make_mesh(8)
+    fn = build_sharded_render(mesh, W8, H8, pair_cap=16384, n_extra=4)
+    color, alpha, extra = fn(params.xyz, params.scaling_activated(),
+                             params.rotation_normalized(),
+                             params.opacity_activated()[:, 0],
+                             params.features(), params.seg_feature_normed(),
+                             cm.w2v, cm.full_proj, cm.campos, jnp.zeros(3))
+    assert np.allclose(np.asarray(color), np.asarray(want.blend.color),
+                       atol=1e-5)
+    assert np.allclose(np.asarray(alpha), np.asarray(want.blend.alpha),
+                       atol=1e-5)
+    assert np.allclose(np.asarray(extra), np.asarray(want.blend.extra),
+                       atol=1e-5)
+
+
 def test_dp_train_step_runs_and_matches_single(rng):
     """The 8-way DP step must run and produce grads equal to the mean of
     per-camera single-device grads (up to Adam determinism)."""
