@@ -377,7 +377,7 @@ def _bwd_kernel(count_ref, packed_ref, gout_ref, sv_ref, iout_ref, dout_ref,
         dLdd = jnp.where(cmask, dLdd, 0.0)
 
         use3d = g["use3d"] & cmask
-        sx, sy, pz = g["sx"], g["sy"], g["pz"]
+        sx, sy = g["sx"], g["sy"]
         Twx, Twy, Twz = g["Twx"], g["Twy"], g["Twz"]
         # --- 3d branch: grads through s and the ray-splat depth
         dLdsx = jnp.where(use3d, dLdrho * 2.0 * sx + dLdd * Twx, 0.0)
@@ -847,7 +847,7 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         dLdd = jnp.where(cmask, dLdd, 0.0)
 
         use3d = g["use3d"] & cmask
-        sx, sy, pz = g["sx"], g["sy"], g["pz"]
+        sx, sy = g["sx"], g["sy"]
         Twx, Twy, Twz = g["Twx"], g["Twy"], g["Twz"]
         dLdsx = jnp.where(use3d, dLdrho * 2.0 * sx + dLdd * Twx, 0.0)
         dLdsy = jnp.where(use3d, dLdrho * 2.0 * sy + dLdd * Twy, 0.0)

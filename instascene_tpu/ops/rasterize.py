@@ -218,6 +218,41 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
                            cfg, y_offset, full_height)
 
 
+def rasterize_extras_tiles(means3d, scales, rotations, opacities,
+                           cam: CameraMats, cfg: RasterizeConfig, extras,
+                           mini_bundle, sel_tiles, alive=None):
+    """Sparse feature render over a tile subset: blend only `mini_bundle`'s
+    chunks (see binning.select_tiles_bundle) with the extras-only kernels and
+    gather the selected tiles' feature rows straight from the tile-major
+    kernel output — no full-image map reconstruction. Returns [K, P2, E]
+    (row-major pixels within each 16x16 tile). Differentiable w.r.t.
+    `extras`; powers the tile-subsampled multi-view contrastive loss."""
+    from .blend_pallas import blend_aligned_diff
+
+    cfg = cfg.resolved(means3d.shape[0])
+    n = means3d.shape[0]
+    grid_x = (cfg.width + cfg.tile - 1) // cfg.tile
+    grid_y = (cfg.height + cfg.tile - 1) // cfg.tile
+    num_tiles = grid_x * grid_y
+    pre = preprocess_gaussians(
+        means3d, scales, rotations, cam.w2v, cam.full_proj, cam.campos,
+        cfg.width, cfg.height, color=means3d[:, :3] * 0.0, tile=cfg.tile,
+        alive=alive)
+    E = extras.shape[1]
+    flat = jnp.concatenate(
+        [pre.T.reshape(n, 9), pre.xy, pre.normal_view,
+         jnp.reshape(opacities, (n, 1)), pre.color, extras], axis=1)
+    flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)],
+                           axis=0)
+    interp = jax.default_backend() == "cpu"
+    out, _ = blend_aligned_diff(flat, tuple(mini_bundle), num_tiles,
+                                cfg.tile, grid_x, E, interp,
+                                True,  # extras_only
+                                cfg.pallas_chunk)
+    ext = out[sel_tiles][:, 10:10 + E, :]            # [K, E, P2]
+    return jnp.transpose(ext, (0, 2, 1))             # [K, P2, E]
+
+
 def densify_screen_grad(t_grad: jnp.ndarray, depth: jnp.ndarray,
                         width: int, height: int) -> jnp.ndarray:
     """Convert dL/dT into the reference's NDC-space viewspace grad used for

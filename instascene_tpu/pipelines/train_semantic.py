@@ -137,6 +137,7 @@ def semantic_train_step(params, opt_state, key,
             # ~10x less multi-view render work at somewhat higher gradient
             # variance. Enable with --mv_tile_subsample K.
             from ..ops.binning import select_tiles_bundle
+            from ..ops.rasterize import rasterize_extras_tiles
             if mv_cached_binning is None or len(mv_cached_binning) < 7:
                 raise ValueError(
                     "mv_tile_subsample requires the aligned (pallas) binning "
@@ -149,6 +150,9 @@ def semantic_train_step(params, opt_state, key,
             lane = jnp.arange(tile * tile, dtype=jnp.int32)
             px = lane % tile
             py = lane // tile
+            feat_n = seg_feature / (jnp.linalg.norm(
+                seg_feature, axis=1, keepdims=True) + 1e-6)
+            E = seg_feature.shape[1]
 
             feats, labels = [], []
             for i in range(n_mv):
@@ -156,14 +160,16 @@ def semantic_train_step(params, opt_state, key,
                 sel = mv_sel_tiles[i]
                 gid, mtile, mrank, _ = select_tiles_bundle(
                     mv_cached_binning[0][i], mv_cached_binning[6][i], sel,
-                    chunk_cap=K * 12, n=n)
-                o = render_features(params, mcam, bg, cfg, seg_feature,
-                                    (gid, mtile, mrank))
+                    chunk_cap=K * 8, n=n)
+                f = rasterize_extras_tiles(
+                    params.xyz, params.scaling_activated(),
+                    params.rotation_normalized(),
+                    params.opacity_activated()[:, 0], mcam, cfg, feat_n,
+                    (gid, mtile, mrank), sel, alive=params.alive)
                 ty, tx = sel // grid_x, sel % grid_x
                 flat_idx = ((ty[:, None] * tile + py[None, :]) * cfg.width
                             + tx[:, None] * tile + px[None, :]).reshape(-1)
-                E = seg_feature.shape[1]
-                feats.append(o.blend.extra.reshape(-1, E)[flat_idx])
+                feats.append(f.reshape(-1, E))
                 labels.append(mv_sorted_segmaps[i].reshape(-1)[flat_idx])
             feats_mv = jnp.concatenate(feats)
             labels_mv = jnp.concatenate(labels)
