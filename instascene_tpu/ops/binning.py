@@ -70,8 +70,9 @@ def select_tiles_bundle(aligned_gid: jnp.ndarray,
                         tile_chunk_start: jnp.ndarray,
                         sel_tiles: jnp.ndarray, chunk_cap: int, n: int,
                         align: int = ALIGN):
-    """Mini aligned bundle covering only `sel_tiles` (sorted ascending, K
-    tiles) of a cached binning — the same kernels then render just those
+    """Mini aligned bundle covering only `sel_tiles` (sorted ascending,
+    UNIQUE, K tiles) of a cached binning — the same kernels then render just
+    those
     tiles' chunks, writing only their rows of the full [num_tiles, ...]
     output (unselected rows are never visited NOR read downstream).
 
