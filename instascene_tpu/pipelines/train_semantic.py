@@ -579,6 +579,64 @@ class SegSplatting:
         gmod.save_ply(self.params, path)
         return path
 
+    @staticmethod
+    def _save_png(path: str, rgb01: np.ndarray) -> None:
+        from PIL import Image
+        Image.fromarray(np.uint8(np.clip(rgb01, 0, 1) * 255.0)).save(path)
+
+    def render_views(self, save_mask: bool = False, view_idx=()):
+        """Per-view feature exports (reference train_semantic.py:353-428):
+        render/segfeat/<name>.npy (raw [H,W,F] features, memoized) +
+        .png (PCA visualization); with save_mask, render/segmask/<name>.png
+        colors each pixel by its best per-instance mean-feature match
+        (score >= 0.75, else black)."""
+        from ..semantic.export import pca_proj_matrix
+
+        save_dir = os.path.join(self.model_path, "render")
+        os.makedirs(os.path.join(save_dir, "segfeat"), exist_ok=True)
+        os.makedirs(os.path.join(save_dir, "segmask"), exist_ok=True)
+        if self.scene is None:
+            self._load_scene()
+
+        inst_feats = inst_colors = None
+        if save_mask:
+            feats = np.asarray(self.params.seg_feature)
+            inst_feats = np.stack(
+                [feats[self.seg3d_masks[:, k]].mean(0)
+                 for k in range(self.seg3d_masks.shape[1])])
+            rng = np.random.default_rng(0)
+            inst_colors = rng.random((len(inst_feats), 3)) * 0.7 + 0.3
+
+        views = (self.cam_objs if not view_idx
+                 else [self.cam_objs[i] for i in view_idx])
+        proj = None
+        from ..render import render as render_full
+        for cam_obj in views:
+            name = cam_obj.image_name
+            npy = os.path.join(save_dir, "segfeat", f"{name}.npy")
+            if os.path.exists(npy):
+                feat = np.load(npy)
+            else:
+                pkg = render_full(cam_obj, self.params, self.pipe, self.bg,
+                                  viewer=True)
+                feat = np.asarray(pkg["seg_feature"])
+                np.save(npy, feat)
+            if proj is None:
+                proj = pca_proj_matrix(np.asarray(self.params.seg_feature))
+            fn = feat / (np.linalg.norm(feat, axis=-1, keepdims=True) + 1e-6)
+            rgb = np.clip(fn @ proj * 0.5 + 0.5, 0, 1)
+            self._save_png(os.path.join(save_dir, "segfeat", f"{name}.png"), rgb)
+            if save_mask:
+                infn = inst_feats / (np.linalg.norm(
+                    inst_feats, axis=1, keepdims=True) + 1e-6)
+                score = fn @ infn.T                       # [H,W,K]
+                best = score.argmax(-1)
+                ok = np.take_along_axis(
+                    score, best[..., None], axis=-1)[..., 0] >= 0.75
+                mask_rgb = inst_colors[best] * ok[..., None]
+                self._save_png(os.path.join(save_dir, "segmask", f"{name}.png"),
+                          mask_rgb)
+
     def export_segment_results(self, iteration: int, score_threshold: float
                                = 0.9, use_hdbscan: bool = False,
                                note: Optional[str] = None):

@@ -140,6 +140,14 @@ def test_semantic_pipeline_e2e(e2e_scene, tmp_path):
     print(f"\n[e2e] 3D instance mIoU (priors vs GT): {miou:.3f}")
     assert miou > 0.5, f"prior instance mIoU regressed: {miou:.3f}"
 
+    # render_views export: per-view segfeat npy+png and instance segmask png
+    seg.render_views(save_mask=True, view_idx=(0, 1))
+    rdir = os.path.join(seg.model_path, "render")
+    name0 = seg.cam_objs[0].image_name
+    assert os.path.exists(os.path.join(rdir, "segfeat", f"{name0}.npy"))
+    assert os.path.exists(os.path.join(rdir, "segfeat", f"{name0}.png"))
+    assert os.path.exists(os.path.join(rdir, "segmask", f"{name0}.png"))
+
     # mask_sorted / output_dict files written
     assert os.path.exists(os.path.join(src, "sam/mask_sorted"))
     # instance export runs
