@@ -526,7 +526,11 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
     real = cr_ref[i] < nprog
     is_empty = cr_ref[i] == nprog + 1
 
-    @pl.when(first & (real | is_empty) & (tt < num_tiles))
+    # is_empty chunks init UNCONDITIONALLY: in the tile-subset mini bundles
+    # the leftover run may visit the same tile right before its init-only
+    # chunk, making `first` false — without the init, the flush would write
+    # stale VMEM (the previous tile's data) over this tile's output row
+    @pl.when((first & real | is_empty) & (tt < num_tiles))
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
         # final_T row starts at 1 (all transmittance remains): for empty
@@ -726,6 +730,18 @@ def blend_fwd_pallas_aligned(packed: jnp.ndarray, chunk_tile: jnp.ndarray,
                    jax.ShapeDtypeStruct((num_tiles, 2, P2), jnp.int32)],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(chunk_tile, chunk_rank, packed)
+    # rows of tiles NO grid step visited (possible when the aligned slack
+    # overflows: empty tiles beyond the reserved chunks get no init-only
+    # chunk, and tile-subset mini bundles only visit their selection) hold
+    # whatever was in the output buffer — replace them with the empty-tile
+    # result (zeros, final_T = 1) so overflow degrades to dropped pairs
+    # (counted in n_dropped) instead of garbage pixels
+    visited = jnp.zeros((num_tiles,), jnp.bool_).at[
+        jnp.clip(chunk_tile, 0, num_tiles - 1)].set(True)
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (1, OC, 1), 1) == 9
+    out = jnp.where(visited[:, None, None], out,
+                    jnp.where(row_t, 1.0, 0.0))
+    iout = jnp.where(visited[:, None, None], iout, 0)
     return PallasBlendFwdOut(out=out, iout=iout)
 
 

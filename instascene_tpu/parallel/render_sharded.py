@@ -31,8 +31,11 @@ def build_sharded_render(mesh: Mesh, width: int, height: int,
                          n_extra: int = 0, sh_degree: int = 3,
                          tile: int = 16):
     """Returns fn(xyz, scaling, rotation, opacity, shs, extras|None, w2v,
-    full_proj, campos, bg) -> (color [H,W,3], alpha [H,W], extra [H,W,E]) —
-    jitted over `mesh`, one horizontal slab per device on the 'data' axis.
+    full_proj, campos, bg) -> (color [H,W,3], alpha [H,W], extra [H,W,E],
+    n_dropped []) — jitted over `mesh`, one horizontal slab per device on the
+    'data' axis. n_dropped (max over slabs) must be checked by the caller:
+    a nonzero value means a slab overflowed its pair cap and silently lost
+    its deepest splats — re-build with a larger pair_cap.
 
     `height` must divide evenly into tile-aligned slabs across the mesh."""
     from jax.experimental.shard_map import shard_map
@@ -60,13 +63,14 @@ def build_sharded_render(mesh: Mesh, width: int, height: int,
         b = out.blend
         extra = (b.extra if with_extras
                  else jnp.zeros(b.color.shape[:2] + (0,)))
-        return b.color, b.alpha, extra
+        return (b.color, b.alpha, extra,
+                jax.lax.pmax(out.n_dropped, "data"))
 
     rep = P()
     slab = P("data")
     fn = shard_map(
         per_device, mesh=mesh,
         in_specs=(rep,) * 10,
-        out_specs=(slab, slab, slab),
+        out_specs=(slab, slab, slab, rep),
         check_rep=False)
     return jax.jit(fn)

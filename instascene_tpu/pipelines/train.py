@@ -272,9 +272,18 @@ class GeometryTrainer:
         cts = [self.cams[i] for i in idxs]
         has_prior = all(ct.normal_prior is not None for ct in cts)
         cfg = self._cfg(self.cam_objs[idxs[0]])
-        key = (cfg, has_prior)
+        ct0 = cts[0]
+        # the DP step bakes the batch's fov (used by the depth->normal ray
+        # grid); mixed-intrinsics datasets would silently get camera 0's
+        # rays for every view, so reject them explicitly
+        fovs = {(round(float(ct.tanfovx), 6), round(float(ct.tanfovy), 6))
+                for ct in cts}
+        if len(fovs) != 1:
+            raise ValueError(
+                f"--dp requires uniform camera intrinsics; got tanfovs "
+                f"{sorted(fovs)} in one batch")
+        key = (cfg, has_prior, next(iter(fovs)))
         if self._dp_step is None or self._dp_key != key:
-            ct0 = cts[0]
             self._dp_step = build_dp_train_step(
                 cfg, ct0.tanfovx, ct0.tanfovy, float(self.pipe.depth_ratio),
                 self.mesh, has_normal_prior=has_prior)

@@ -160,17 +160,26 @@ def semantic_train_step(params, opt_state, key,
                 sel = mv_sel_tiles[i]
                 gid, mtile, mrank, _ = select_tiles_bundle(
                     mv_cached_binning[0][i], mv_cached_binning[6][i], sel,
-                    chunk_cap=K * 8, n=n)
+                    chunk_cap=K * 8, n=n, align=cfg.pallas_chunk)
                 f = rasterize_extras_tiles(
                     params.xyz, params.scaling_activated(),
                     params.rotation_normalized(),
                     params.opacity_activated()[:, 0], mcam, cfg, feat_n,
                     (gid, mtile, mrank), sel, alive=params.alive)
                 ty, tx = sel // grid_x, sel % grid_x
-                flat_idx = ((ty[:, None] * tile + py[None, :]) * cfg.width
-                            + tx[:, None] * tile + px[None, :]).reshape(-1)
+                yy = ty[:, None] * tile + py[None, :]
+                xx = tx[:, None] * tile + px[None, :]
+                flat_idx = (yy * cfg.width + xx).reshape(-1)
+                # edge tiles of non-multiple-of-16 frames hang past the
+                # image: zero (=invalid) labels for out-of-image pixels so
+                # the valid-pixel sampler never pairs a rendered feature
+                # with a clamped/wrapped segmap label
+                in_img = ((yy < cfg.height) & (xx < cfg.width)).reshape(-1)
                 feats.append(f.reshape(-1, E))
-                labels.append(mv_sorted_segmaps[i].reshape(-1)[flat_idx])
+                labels.append(jnp.where(
+                    in_img, mv_sorted_segmaps[i].reshape(-1)[
+                        jnp.clip(flat_idx, 0,
+                                 cfg.height * cfg.width - 1)], 0))
             feats_mv = jnp.concatenate(feats)
             labels_mv = jnp.concatenate(labels)
             k, sub = jax.random.split(k)
@@ -427,10 +436,17 @@ class SegSplatting:
         lr = jnp.float32(semantic_lrs(opt)["seg_feature"])
         zeros_map = jnp.zeros((height, width), jnp.int32)
 
+        dev_seg = {}
+
         def seg_of(v, sorted_=False):
-            c = self.cam_objs[v]
-            m = c.sorted_segmap if sorted_ else c.segmap
-            return jnp.asarray(m) if m is not None else zeros_map
+            # device-cached: uploading [H,W] maps per step costs ~1ms each
+            key = (v, sorted_)
+            if key not in dev_seg:
+                c = self.cam_objs[v]
+                m = c.sorted_segmap if sorted_ else c.segmap
+                dev_seg[key] = (jnp.asarray(m) if m is not None
+                                else zeros_map)
+            return dev_seg[key]
 
         stack = []
         bar = tqdm(range(1, iterations + 1), desc="Contrastive(DP)",

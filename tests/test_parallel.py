@@ -62,11 +62,12 @@ def test_sharded_render_matches_single(rng):
 
     mesh = make_mesh(8)
     fn = build_sharded_render(mesh, W8, H8, pair_cap=16384, n_extra=4)
-    color, alpha, extra = fn(params.xyz, params.scaling_activated(),
-                             params.rotation_normalized(),
-                             params.opacity_activated()[:, 0],
-                             params.features(), params.seg_feature_normed(),
-                             cm.w2v, cm.full_proj, cm.campos, jnp.zeros(3))
+    color, alpha, extra, nd = fn(
+        params.xyz, params.scaling_activated(),
+        params.rotation_normalized(), params.opacity_activated()[:, 0],
+        params.features(), params.seg_feature_normed(),
+        cm.w2v, cm.full_proj, cm.campos, jnp.zeros(3))
+    assert int(np.max(np.asarray(nd))) == 0
     assert np.allclose(np.asarray(color), np.asarray(want.blend.color),
                        atol=1e-5)
     assert np.allclose(np.asarray(alpha), np.asarray(want.blend.alpha),
