@@ -346,7 +346,8 @@ def _bwd_kernel(count_ref, packed_ref, gout_ref, sv_ref, iout_ref, dout_ref,
         colors = bt[:, _COL:_COL + 3]              # [C,3]
         normals = bt[:, _NRM:_NRM + 3]
         d_safe = jnp.where(cmask, depth_ray, 1.0)
-        md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / d_safe)
+        inv_d = 1.0 / d_safe          # one reciprocal, reused below
+        md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N * inv_d)
 
         dLdw = (jnp.dot(colors, gcol, preferred_element_type=jnp.float32)
                 + jnp.dot(normals, gnrm, preferred_element_type=jnp.float32)
@@ -371,7 +372,7 @@ def _bwd_kernel(count_ref, packed_ref, gout_ref, sv_ref, iout_ref, dout_ref,
         dLdrho = -0.5 * G * dLdG
 
         is_med = cmask & (gslot == med_slot)
-        dmd_dd = (FAR_N * NEAR_N) / ((FAR_N - NEAR_N) * d_safe * d_safe)
+        dmd_dd = (FAR_N * NEAR_N) / (FAR_N - NEAR_N) * inv_d * inv_d
         dLdd = (w * gD + jnp.where(is_med, gmed, 0.0)
                 + gdist * 2.0 * w * (md * a_fin - m1tot) * dmd_dd)
         dLdd = jnp.where(cmask, dLdd, 0.0)
@@ -830,7 +831,8 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         gTfin = gout_ref[0, 9:10]
 
         d_safe = jnp.where(cmask, depth_ray, 1.0)
-        md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / d_safe)
+        inv_d = 1.0 / d_safe          # one reciprocal, reused below
+        md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N * inv_d)
 
         # one MXU pass for color+normal(+extras)·cotangent: packed rows
         # 11:14 (normal), 14 (opacity — multiplied by a zero gout row),
@@ -857,7 +859,7 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         dLdrho = -0.5 * G * dLdG
 
         is_med = cmask & (gslot == med_slot)
-        dmd_dd = (FAR_N * NEAR_N) / ((FAR_N - NEAR_N) * d_safe * d_safe)
+        dmd_dd = (FAR_N * NEAR_N) / (FAR_N - NEAR_N) * inv_d * inv_d
         dLdd = (w * gD + jnp.where(is_med, gmed, 0.0)
                 + gdist * 2.0 * w * (md * a_fin - m1tot) * dmd_dd)
         dLdd = jnp.where(cmask, dLdd, 0.0)

@@ -277,6 +277,64 @@ def test_cached_binning_matches_fresh(rng):
             assert np.abs(a - b).max() / denom < 1e-5, (impl, nm)
 
 
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_pallas_vs_xla(seed):
+    """Randomized stress: varied scene statistics (huge/tiny splats, near/
+    behind-camera, low/high opacity, degenerate quats, sometimes nearly
+    empty frames) must render identically through the Pallas and XLA paths
+    and agree on gradients."""
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              rasterize)
+
+    r = np.random.default_rng(1000 + seed)
+    n = int(r.integers(8, 120))
+    pos = np.array([r.normal(0, 2), -3.5 + r.normal(0, 1), 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="t", width=W, height=H)
+    xyz = r.normal(0, r.uniform(0.1, 3.0), (n, 3)).astype(np.float32)
+    scales = np.exp(r.normal(r.uniform(-4, -1), 0.8, (n, 2))
+                    ).astype(np.float32)
+    rots = r.normal(size=(n, 4)).astype(np.float32)
+    rots[: n // 8] *= 1e-6           # near-degenerate quaternions
+    opac = r.uniform(0.01, 0.99, (n,)).astype(np.float32)
+    color = r.uniform(0, 1, (n, 3)).astype(np.float32)
+    extra = r.normal(size=(n, 4)).astype(np.float32)
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+
+    def run(impl, x, o):
+        cfg = RasterizeConfig(width=W, height=H, pair_cap=8192,
+                              tile_cap=512, chunk=16, impl=impl)
+        return rasterize(x, jnp.asarray(scales), jnp.asarray(rots), o,
+                         cm, jnp.zeros(3), cfg, colors=jnp.asarray(color),
+                         extras=jnp.asarray(extra))
+
+    xj, oj = jnp.asarray(xyz), jnp.asarray(opac)
+    a = run("xla", xj, oj)
+    b = run("pallas", xj, oj)
+    for field in ("color", "alpha", "extra", "distortion", "median_depth"):
+        av = np.asarray(getattr(a.blend, field))
+        bv = np.asarray(getattr(b.blend, field))
+        assert np.isfinite(av).all() and np.isfinite(bv).all(), (seed, field)
+        assert np.allclose(av, bv, atol=2e-5), (
+            seed, field, np.abs(av - bv).max())
+
+    def loss(impl, x, o):
+        out = run(impl, x, o)
+        return (jnp.sum(out.blend.color ** 2)
+                + jnp.sum(out.blend.extra ** 2))
+
+    ga = jax.grad(lambda x, o: loss("xla", x, o), argnums=(0, 1))(xj, oj)
+    gb = jax.grad(lambda x, o: loss("pallas", x, o), argnums=(0, 1))(xj, oj)
+    for va, vb, nm in zip(ga, gb, ("xyz", "opac")):
+        va, vb = np.asarray(va), np.asarray(vb)
+        assert np.isfinite(va).all() and np.isfinite(vb).all(), (seed, nm)
+        denom = np.abs(va).max() + 1e-6
+        assert np.abs(va - vb).max() / denom < 5e-3, (seed, nm)
+
+
 def test_select_tiles_bundle_matches_full(rng):
     """Rendering through a tile-subset mini bundle must reproduce the full
     render exactly on the selected tiles (gradients included)."""
