@@ -67,6 +67,9 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
     flow."""
     p = gaussians.params if hasattr(gaussians, "params") else gaussians
     n = p.xyz.shape[0]
+    if viewer and track_contrib:
+        # contributor tracking needs the full path; never silently drop it
+        viewer = False
 
     width = int(viewpoint_camera.width)
     height = int(viewpoint_camera.height)
