@@ -83,7 +83,23 @@ def main(argv=None):
                desc="Training progress")
     for it in bar:
         _t0 = _time.perf_counter()
-        metrics = trainer.step(it)
+        try:
+            metrics = trainer.step(it)
+        except FloatingPointError:
+            # jax_debug_nans tripped: dump the training state for offline
+            # repro before re-raising (the reference's debug mode dumps
+            # snapshot_fw.dump on CUDA failure,
+            # diff_surfel_rasterization/__init__.py:93-101)
+            snap = os.path.join(scene.model_path, f"nan_snapshot_{it}.npz")
+            import numpy as _np
+            fields = {
+                k: getattr(trainer.params, k)
+                for k in trainer.params.__dataclass_fields__}
+            _np.savez(snap, iteration=it,
+                      **{f"p_{k}": _np.asarray(v) for k, v in fields.items()
+                         if hasattr(v, "shape")})
+            print(f"\n[ITER {it}] NaN detected — params snapshot: {snap}")
+            raise
         if tb is not None and it % 10 == 0:
             log_train_scalars(tb, it, metrics, _time.perf_counter() - _t0)
         if it % 10 == 0:
