@@ -119,6 +119,7 @@ def semantic_train_step(params, opt_state, key,
     cf = class_feat if has_class_feat else None
 
     def loss_fn(seg_feature):
+        mv_trunc = jnp.int32(0)
         out = render_features(params, cam, bg, cfg, seg_feature,
                               cached_binning)
         k, k_sv = jax.random.split(key)
@@ -158,9 +159,10 @@ def semantic_train_step(params, opt_state, key,
             for i in range(n_mv):
                 mcam = CameraMats(mv_w2v[i], mv_full_proj[i], mv_campos[i])
                 sel = mv_sel_tiles[i]
-                gid, mtile, mrank, _ = select_tiles_bundle(
+                gid, mtile, mrank, n_tr = select_tiles_bundle(
                     mv_cached_binning[0][i], mv_cached_binning[6][i], sel,
                     chunk_cap=K * 8, n=n, align=cfg.pallas_chunk)
+                mv_trunc = mv_trunc + n_tr  # no silent caps: surfaced below
                 f = rasterize_extras_tiles(
                     params.xyz, params.scaling_activated(),
                     params.rotation_normalized(),
@@ -202,15 +204,16 @@ def semantic_train_step(params, opt_state, key,
             cl = contrastive_loss(feats_mv[idx], labels_mv[idx], max_labels,
                                   predef_u=cf)
             total = total + jnp.where(any_valid, cl, 0.0) * lam_mv
-        return total
+        return total, mv_trunc
 
-    loss, g = jax.value_and_grad(loss_fn)(params.seg_feature)
+    (loss, mv_trunc), g = jax.value_and_grad(
+        loss_fn, has_aux=True)(params.seg_feature)
     grads = params.replace(seg_feature=g)  # only seg_feature is read below
     new_params, new_opt = adam_step(
         params, grads, opt_state, lrs,
         frozen_fields=("xyz", "features_dc", "features_rest", "scaling",
                        "rotation", "opacity"))
-    return new_params, new_opt, loss
+    return new_params, new_opt, loss, mv_trunc
 
 
 class SegSplatting:
@@ -496,7 +499,11 @@ class SegSplatting:
             return self._train_segfeat_dp(iterations, opt_state, max_labels,
                                           progress, save_every)
         seg_cs, sorted_cs, vis_cs = self.sampling_csums
-        n_mv = opt.sample_mv_frames
+        # tiny scenes: shrink the MV window to the camera count instead of
+        # crashing (reference train_semantic.py:148 raises on
+        # len(cams) <= sample_mv_frames; window range matches it otherwise)
+        n_mv = min(int(opt.sample_mv_frames), len(self.cams))
+        self.mv_trunc_total = 0
         has_cf = self.class_feat is not None
         cf = (jnp.asarray(np.pad(self.class_feat,
                                  ((0, max(0, max_labels
@@ -543,7 +550,7 @@ class SegSplatting:
             cb = self.binning_cache[ci]
             mv_sel = None
             if do_mv:
-                v0 = self.rng.randint(0, len(self.cams) - n_mv - 1)
+                v0 = self.rng.randint(0, max(0, len(self.cams) - n_mv - 1))
                 mv = [self.cams[v] for v in range(v0, v0 + n_mv)]
                 mv_w2v = jnp.stack([m.w2v for m in mv])
                 mv_fp = jnp.stack([m.full_proj for m in mv])
@@ -570,7 +577,7 @@ class SegSplatting:
                 mv_w2v, mv_fp, mv_cp, mv_seg, mv_cb = self._mv_dummy
 
             self.key, sub = jax.random.split(self.key)
-            self.params, opt_state, loss = semantic_train_step(
+            self.params, opt_state, loss, mv_trunc = semantic_train_step(
                 self.params, opt_state, sub,
                 ct.w2v, ct.full_proj, ct.campos, segmap, sorted_segmap,
                 mv_w2v, mv_fp, mv_cp, mv_seg,
@@ -581,8 +588,15 @@ class SegSplatting:
                 has_csums=True, seg_csum=seg_cs[ci],
                 sorted_csum=sorted_cs[ci], vis3d_csum=vis_cs[ci],
                 mv_tile_count=mv_k if do_mv else 0, mv_sel_tiles=mv_sel)
+            if do_mv and mv_k:
+                # no silent caps: deepest-chunk truncation in the MV
+                # tile-subsample path is counted and reported
+                self.mv_trunc_total += int(mv_trunc)
             if it % 10 == 0:
-                bar.set_postfix({"ContraLoss": f"{float(loss):.3f}"})
+                post = {"ContraLoss": f"{float(loss):.3f}"}
+                if self.mv_trunc_total:
+                    post["mv_trunc"] = self.mv_trunc_total
+                bar.set_postfix(post)
             if it % save_every == 0 or it == iterations:
                 self.save(it)
         self.export_segment_results(iterations, use_hdbscan=True,

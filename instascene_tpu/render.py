@@ -41,6 +41,23 @@ _PAIR_CAP_HIWATER: dict = {}  # (w, h, n, tile) -> sticky grown pair_cap
 # the previous frame's overflow check, resolved one frame later so interactive
 # rendering never blocks on a host sync (drop_check="async")
 _PENDING_DROP: dict = {}
+# Both dicts are keyed by (w, h, n, tile); a long GUI session that densifies
+# or crops walks through many n values, so bound them LRU-style — a stale
+# _PENDING_DROP entry pins a device array, a stale hiwater entry is just an
+# int but still unbounded growth.
+_STATE_CAP = 16
+
+
+def _evict_lru(d: dict, cap: int = _STATE_CAP) -> None:
+    while len(d) > cap:  # python dicts are insertion-ordered: pop the oldest
+        d.pop(next(iter(d)))
+
+
+def reset_render_state() -> None:
+    """Drop the sticky pair-cap high-water marks and any pending async
+    overflow checks (e.g. after a scene swap in a long-lived viewer)."""
+    _PAIR_CAP_HIWATER.clear()
+    _PENDING_DROP.clear()
 
 
 def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
@@ -98,8 +115,11 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
             if int(dropped) > 0:
                 _PAIR_CAP_HIWATER[hw_key] = max(
                     2 * cap_then, _PAIR_CAP_HIWATER.get(hw_key, 0))
+                _evict_lru(_PAIR_CAP_HIWATER)
     if auto_caps and grow_on_drop and hw_key in _PAIR_CAP_HIWATER:
         import dataclasses
+        # re-insert: marks this shape most-recently-used for LRU eviction
+        _PAIR_CAP_HIWATER[hw_key] = _PAIR_CAP_HIWATER.pop(hw_key)
         cfg = dataclasses.replace(cfg, pair_cap=_PAIR_CAP_HIWATER[hw_key],
                                   tile_cap=0)
 
@@ -133,6 +153,7 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
             # defer the host sync: the count is inspected before the NEXT
             # same-shape render instead of stalling this one
             _PENDING_DROP[hw_key] = (out.n_dropped, cfg.resolved(n).pair_cap)
+            _evict_lru(_PENDING_DROP)
             break
         if int(out.n_dropped) == 0:
             break
@@ -142,6 +163,7 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
         # per-tile tile_cap clipping (padded)
         grown = 2 * r.pair_cap
         _PAIR_CAP_HIWATER[hw_key] = grown
+        _evict_lru(_PAIR_CAP_HIWATER)
         cfg = dataclasses.replace(cfg, pair_cap=grown,
                                   tile_cap=2 * r.tile_cap)
     b = out.blend

@@ -58,7 +58,7 @@ def main():
 
         def one(p, s, k):
             k, sub = jax.random.split(k)
-            p, s, loss = semantic_train_step(
+            p, s, loss, _ = semantic_train_step(
                 p, s, sub, cams[0].w2v, cams[0].full_proj, cams[0].campos,
                 segmap, segmap, mv_w2v, mv_fp, mv_cp, mv_seg, lab3d, cf,
                 jnp.zeros(3), lrs, 1e-6, 1e-6 if do_mv else 0.0, 2.5e-6,

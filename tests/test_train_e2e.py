@@ -145,6 +145,16 @@ def test_semantic_pipeline_e2e(e2e_scene, tmp_path):
     if hasattr(seg, "binning_cache"):
         del seg.binning_cache   # force aligned-layout rebuild
     seg.train_segfeat(iterations=10, progress=False, save_every=10_000)
+    # no silent caps: the tile-subsample chunk budget (K*8 chunks) must not
+    # truncate at default caps on this scene — the counter is threaded out
+    # of the jitted step precisely so this is checkable
+    assert seg.mv_trunc_total == 0
+    # tiny-scene MV window: more requested MV frames than cameras must
+    # clamp (reference crashes here, train_semantic.py:148) — the window
+    # shrinks to the full camera list instead
+    seg.opt.sample_mv_frames = 12      # > the scene's 8 cameras
+    seg.train_segfeat(iterations=10, progress=False, save_every=10_000)
+    seg.opt.sample_mv_frames = 5
     seg.opt.mv_tile_subsample = 0
     seg.pipe.rasterizer_impl = "auto"
     del seg.binning_cache
