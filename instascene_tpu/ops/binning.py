@@ -66,22 +66,24 @@ class AlignedLayout(NamedTuple):
     tile_chunk_start: Optional[jnp.ndarray] = None
 
 
-def select_tiles_bundle(aligned_gid: jnp.ndarray,
-                        tile_chunk_start: jnp.ndarray,
+def select_tiles_bundle(sorted_gid: jnp.ndarray,
+                        tile_bounds: jnp.ndarray,
                         sel_tiles: jnp.ndarray, chunk_cap: int, n: int,
                         align: int = ALIGN):
-    """Mini aligned bundle covering only `sel_tiles` (sorted ascending,
-    UNIQUE, K tiles) of a cached binning — the same kernels then render just
-    those
-    tiles' chunks, writing only their rows of the full [num_tiles, ...]
-    output (unselected rows are never visited NOR read downstream).
+    """Mini ALIGNED bundle covering only `sel_tiles` (sorted ascending,
+    UNIQUE, K tiles), sourced from the compact-sorted layout: tile t's slots
+    are the contiguous run sorted_gid[tile_bounds[t]:tile_bounds[t+1]]
+    (tile_bounds [num_tiles+1] is the visit cache's pair-space range table).
+    The aligned kernels then render just those tiles' chunks, writing only
+    their rows of the full [num_tiles, ...] output (unselected rows are never
+    visited NOR read downstream).
 
     Returns (mini_gid [chunk_cap*align + K*align], mini_tile, mini_rank,
     n_trunc): the extra K chunks at the tail carry the init-only rank for
     selected-but-empty tiles (kernels zero their output rows) and the skip
     rank otherwise. Chunks beyond chunk_cap are truncated DEEPEST-first per
     tile (they sit behind the earlier chunks in blend order, where
-    transmittance is lowest); n_trunc counts them.
+    transmittance is lowest); n_trunc counts them (in chunks).
 
     This powers the tile-subsampled multi-view contrastive loss — an
     opt-in TPU-native speedup with no reference equivalent (the reference
@@ -90,8 +92,9 @@ def select_tiles_bundle(aligned_gid: jnp.ndarray,
     K = sel_tiles.shape[0]
     n_chunks_mini = chunk_cap + K
     per_tile_cap = max(chunk_cap // K, 1)
-    starts = tile_chunk_start[sel_tiles]                     # [K]
-    cnt_full = tile_chunk_start[sel_tiles + 1] - starts      # [K]
+    starts_p = tile_bounds[sel_tiles]                        # [K] pair units
+    cnt_p = tile_bounds[sel_tiles + 1] - starts_p            # [K] pair units
+    cnt_full = (cnt_p + align - 1) // align                  # [K] chunks
     cnt = jnp.minimum(cnt_full, per_tile_cap)                # per-tile clamp
     off_incl = jnp.cumsum(cnt)
     off = off_incl - cnt                                     # exclusive
@@ -103,7 +106,6 @@ def select_tiles_bundle(aligned_gid: jnp.ndarray,
     t_idx = jnp.clip(t_idx, 0, K - 1)
     rank = j - off[t_idx]
     valid = j < total_mini
-    src_chunk = starts[t_idx] + rank
     # leftover slots between the real run and the tail: pin to the FIRST
     # empty tile when empties exist (its init-only chunk comes right after,
     # keeping that block's visits consecutive), else to the last real tile
@@ -135,10 +137,15 @@ def select_tiles_bundle(aligned_gid: jnp.ndarray,
     mini_rank = jnp.concatenate([mini_rank, tail_rank])
 
     lane = jnp.arange(align, dtype=jnp.int32)
-    slot_src = (src_chunk[:, None] * align + lane[None, :]).reshape(-1)
-    gid = jnp.where(jnp.repeat(valid, align),
-                    aligned_gid[jnp.clip(slot_src, 0,
-                                         aligned_gid.shape[0] - 1)], n)
+    # pair-space source: within-tile pair index = rank*align + lane, valid
+    # while below the tile's (unclamped) pair count — the run is contiguous
+    # in sorted space, not chunk-aligned
+    pairpos = (rank[:, None] * align + lane[None, :])        # [cap, align]
+    slot_src = (starts_p[t_idx][:, None] + pairpos).reshape(-1)
+    lane_ok = (pairpos < cnt_p[t_idx][:, None]).reshape(-1)
+    gid = jnp.where(jnp.repeat(valid, align) & lane_ok,
+                    sorted_gid[jnp.clip(slot_src, 0,
+                                        sorted_gid.shape[0] - 1)], n)
     gid = jnp.concatenate([gid, jnp.full((K * align,), n, jnp.int32)])
     return (gid.astype(jnp.int32), mini_tile.astype(jnp.int32),
             mini_rank.astype(jnp.int32), n_trunc)
@@ -161,6 +168,80 @@ def chain_reduce_indices(aligned_gid: jnp.ndarray, n: int):
     return gid_order, gauss_offsets, gauss_csum
 
 
+class VisitLayout(NamedTuple):
+    """Compact-sorted layout (round-3 redesign): pairs stay at their SORTED
+    positions — no per-tile chunk alignment, so the pack gather and the
+    backward reduction run over exactly pair_cap rows instead of the aligned
+    layout's ~1.7x inflated capacity, and the 13 ms aligned-gid scatter
+    disappears (the sorted gid list IS the slot list).
+
+    The kernel grid walks (chunk, tile)-intersection VISITS: chunk c of 128
+    sorted pairs is visited once per tile whose [start, end) range intersects
+    it, with the slot range [s0, s1) masked in-kernel. Visits are generated
+    tile-ascending (chunk indices are then non-decreasing), so both the input
+    chunk blocks and the per-tile output blocks see consecutive revisits —
+    the Pallas TPU invariant that makes resident-buffer carries exact.
+    Empty tiles get one s0==s1 visit (output init only); chunks past the last
+    real pair get tail visits (masked empty) so the backward kernel's output
+    blocks are all zero-initialized; remaining padding visits pin to the last
+    chunk/tile.
+
+    visit_chunk  [V]  sorted-pair chunk index per visit
+    visit_tile   [V]  tile whose range this visit serves
+    visit_s0/s1  [V]  slot range [s0, s1) of the chunk belonging to the tile
+    visit_tstart [V]  tile_start of the tile (global slot base for the
+                      within-tile contributor numbering)
+    gid_order / gauss_offsets / gauss_csum: optional chain-reduce indices
+    (chain_reduce_indices over sorted_gid), cache-build-time extra.
+    """
+    visit_chunk: jnp.ndarray
+    visit_tile: jnp.ndarray
+    visit_s0: jnp.ndarray
+    visit_s1: jnp.ndarray
+    visit_tstart: jnp.ndarray
+    gid_order: Optional[jnp.ndarray] = None
+    gauss_offsets: Optional[jnp.ndarray] = None
+    gauss_csum: Optional[jnp.ndarray] = None
+
+
+def build_visits(tile_start: jnp.ndarray, tile_end: jnp.ndarray,
+                 total: jnp.ndarray, pair_cap: int, num_tiles: int,
+                 chunk: int = ALIGN) -> VisitLayout:
+    """Visit list for the compact-sorted layout. pair_cap % chunk == 0."""
+    assert pair_cap % chunk == 0, pair_cap
+    n_chunks = pair_cap // chunk
+    s = jnp.minimum(tile_start, pair_cap)
+    e = jnp.minimum(tile_end, pair_cap)
+    nonempty = e > s
+    c_lo = jnp.minimum(s // chunk, n_chunks - 1)
+    nv = jnp.where(nonempty, (e + chunk - 1) // chunk - c_lo, 1)
+    voff = jnp.cumsum(nv)
+    v_real = voff[-1]
+    v_cap = n_chunks + num_tiles
+    j = jnp.arange(v_cap, dtype=jnp.int32)
+    t_of = jnp.clip(jnp.searchsorted(voff, j, side="right"
+                                     ).astype(jnp.int32), 0, num_tiles - 1)
+    rank = j - (voff - nv)[t_of]
+    real = j < v_real
+    covered = jnp.minimum(total, pair_cap)
+    c_tail0 = (covered + chunk - 1) // chunk
+    k_tail = j - v_real
+    tail_ok = k_tail < n_chunks - c_tail0
+    vchunk = jnp.where(real, c_lo[t_of] + rank,
+                       jnp.where(tail_ok, c_tail0 + k_tail, n_chunks - 1))
+    vchunk = jnp.clip(vchunk, 0, n_chunks - 1)
+    vtile = jnp.where(real, t_of, num_tiles - 1)
+    lo = vchunk * chunk
+    vs0 = jnp.where(real, jnp.clip(s[t_of] - lo, 0, chunk), 0)
+    vs1 = jnp.where(real, jnp.clip(e[t_of] - lo, 0, chunk), 0)
+    vtstart = jnp.where(real, s[t_of], 0)
+    return VisitLayout(visit_chunk=vchunk.astype(jnp.int32),
+                       visit_tile=vtile.astype(jnp.int32),
+                       visit_s0=vs0.astype(jnp.int32),
+                       visit_s1=vs1.astype(jnp.int32),
+                       visit_tstart=vtstart.astype(jnp.int32))
+
+
 def aligned_cap(pair_cap: int, num_tiles: int, align: int = ALIGN) -> int:
     """Aligned-layout capacity. Slack beyond pair_cap covers per-tile
     chunk-rounding plus one chunk per empty tile; the worst case is
@@ -180,13 +261,14 @@ class BinningOut(NamedTuple):
     total_pairs: jnp.ndarray    # [] int32
     n_dropped: jnp.ndarray      # [] int32 pairs dropped by pair_cap/tile_cap
     aligned: Optional[AlignedLayout]
+    visits: Optional["VisitLayout"] = None
 
 
 def bin_gaussians(pre: PreprocessOut, width: int, height: int,
                   pair_cap: int, tile_cap: int, tile: int = 16,
                   layout: str = "padded", align: int = ALIGN) -> BinningOut:
-    """layout: 'padded' | 'aligned' | 'both'; `align` is the aligned-layout
-    chunk size (must equal the Pallas kernels' chunk)."""
+    """layout: 'padded' | 'aligned' | 'visits' | 'both'; `align` is the
+    aligned-layout chunk size (must equal the Pallas kernels' chunk)."""
     n = pre.depth.shape[0]
     grid_x = (width + tile - 1) // tile
     grid_y = (height + tile - 1) // tile
@@ -295,6 +377,12 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         tile_indices = jnp.where(in_range, sorted_gid[flat_pos], n
                                  ).astype(jnp.int32)
 
+    visits = None
+    if layout == "visits":
+        assert pair_cap % align == 0, pair_cap
+        visits = build_visits(tile_start, tile_end, total, pair_cap,
+                              num_tiles, chunk=align)
+
     aligned = None
     if layout in ("aligned", "both"):
         acap = aligned_cap(pair_cap, num_tiles, align)
@@ -388,4 +476,4 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     return BinningOut(tile_indices=tile_indices,
                       tile_count=tile_count, tile_start=tile_start,
                       sorted_gid=sorted_gid, total_pairs=total,
-                      n_dropped=n_dropped, aligned=aligned)
+                      n_dropped=n_dropped, aligned=aligned, visits=visits)

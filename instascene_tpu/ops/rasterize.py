@@ -70,6 +70,8 @@ class RasterizeConfig:
         chunk = self.chunk
         if impl == "pallas":
             chunk = self.pallas_chunk
+            # the visit layout indexes sorted pairs by whole chunks
+            pair_cap = ((pair_cap + chunk - 1) // chunk) * chunk
         tile_cap = ((tile_cap + chunk - 1) // chunk) * chunk
         return RasterizeConfig(self.width, self.height, self.tile, chunk,
                                pair_cap, tile_cap, self.track_contrib, impl,
@@ -78,11 +80,14 @@ class RasterizeConfig:
 
 
 def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
-                      width, height, cfg):
-    """Differentiable aligned-layout Pallas blend → BlendOut
-    (tracker unsupported here — track_contrib forces the XLA path)."""
+                      width, height, cfg, visits_bundle=None):
+    """Differentiable Pallas blend → BlendOut, over the compact-sorted visit
+    layout (full-frame default, round-3 redesign) or the aligned-flat layout
+    (tile-subset / cached-aligned bundles). Tracker unsupported here —
+    track_contrib forces the XLA path."""
     from .blend import BlendOut as _BlendOut
     from .blend_pallas import blend_aligned_diff, blend_aligned_viewer
+    from .blend_visits import blend_visits_diff, blend_visits_viewer
     from .rasterize_pallas import maps_from_pallas
 
     n = pre.T.shape[0]
@@ -98,7 +103,21 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
     flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)],
                            axis=0)
     interp = jax.default_backend() == "cpu"  # tests exercise interpret mode
-    if cfg.fwd_viewer:
+    if visits_bundle is None and binning.visits is not None:
+        v = binning.visits
+        visits_bundle = (binning.sorted_gid, v.visit_chunk, v.visit_tile,
+                         v.visit_s0, v.visit_s1, v.visit_tstart)
+    if visits_bundle is not None:
+        if cfg.fwd_viewer:
+            out, iout = blend_visits_viewer(flat, tuple(visits_bundle),
+                                            num_tiles, cfg.tile, grid_x, E,
+                                            interp, cfg.pallas_chunk)
+        else:
+            out, iout = blend_visits_diff(flat, tuple(visits_bundle),
+                                          num_tiles, cfg.tile, grid_x, E,
+                                          interp, cfg.bwd_extras_only,
+                                          cfg.pallas_chunk)
+    elif cfg.fwd_viewer:
         out, iout = blend_aligned_viewer(flat, tuple(binning.aligned),
                                          num_tiles, cfg.tile, grid_x, E,
                                          interp, cfg.pallas_chunk)
@@ -141,7 +160,7 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
         # lists are constant, so the expand+sort is skipped entirely.
         # XLA layout caches (tile_indices, tile_count); pallas caches the
         # 6-array aligned bundle.
-        from .binning import AlignedLayout, BinningOut
+        from .binning import AlignedLayout, BinningOut, VisitLayout
         if len(cached_binning) == 2:
             tile_indices, tile_count = cached_binning
             binning = BinningOut(tile_indices=tile_indices,
@@ -149,6 +168,15 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                                  tile_start=None, sorted_gid=None,
                                  total_pairs=jnp.int32(0),
                                  n_dropped=jnp.int32(0), aligned=None)
+        elif len(cached_binning) in (6, 9, 10):
+            # visit-layout cache: (sorted_gid, vchunk, vtile, vs0, vs1,
+            # vtstart[, gid_order, gauss_offsets, gauss_csum])
+            binning = BinningOut(tile_indices=None, tile_count=None,
+                                 tile_start=None,
+                                 sorted_gid=cached_binning[0],
+                                 total_pairs=jnp.int32(0),
+                                 n_dropped=jnp.int32(0), aligned=None,
+                                 visits=VisitLayout(*cached_binning[1:6]))
         else:
             binning = BinningOut(tile_indices=None, tile_count=None,
                                  tile_start=None, sorted_gid=None,
@@ -156,7 +184,7 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                                  n_dropped=jnp.int32(0),
                                  aligned=AlignedLayout(*cached_binning))
     else:
-        layout = "aligned" if cfg.impl == "pallas" else "padded"
+        layout = "visits" if cfg.impl == "pallas" else "padded"
         binning = bin_gaussians(pre, width, height, cfg.pair_cap,
                                 cfg.tile_cap, tile=cfg.tile, layout=layout,
                                 align=cfg.pallas_chunk)
@@ -164,8 +192,10 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
     n = means3d.shape[0]
     T_used = pre.T if t_offset is None else pre.T + t_offset
     if cfg.impl == "pallas":
+        vb = (cached_binning if cached_binning is not None
+              and len(cached_binning) in (6, 9, 10) else None)
         out = _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
-                                width, height, cfg)
+                                width, height, cfg, visits_bundle=vb)
         return RasterizeOut(blend=out,
                             radii=pre.radius.astype(jnp.int32),
                             visible=pre.valid & (pre.radius > 0),
@@ -273,10 +303,22 @@ def _binning_cache_impl(xyz, scales, rotations, alive, w2v, full_proj, campos,
                                alive=alive)
     b = bin_gaussians(pre, width, height, pair_cap, tile_cap, tile=tile,
                       layout=layout, align=align)
+    if layout == "visits":
+        # visit-layout cache (compact-sorted; the pallas default): index data
+        # + chain-reduction indices (the cached-binning backward's gather +
+        # cumsum + segment-diff reduction, ~1.6x a scatter-add) + the
+        # pair-space tile range table (tile-subset mini bundles source their
+        # contiguous per-tile runs from it — select_tiles_bundle)
+        from .binning import chain_reduce_indices
+        chain = chain_reduce_indices(b.sorted_gid, xyz.shape[0])
+        v = b.visits
+        tile_bounds = jnp.concatenate(
+            [b.tile_start, jnp.minimum(b.total_pairs, pair_cap)[None]]
+        ).astype(jnp.int32)
+        return ((b.sorted_gid, v.visit_chunk, v.visit_tile, v.visit_s0,
+                 v.visit_s1, v.visit_tstart) + chain
+                + (tile_bounds,)), b.tile_count, b.n_dropped
     if layout == "aligned":
-        # cache-build-time extra: the chain-reduction indices make the
-        # cached-binning backward's per-gaussian grad reduction a gather +
-        # cumsum + segment diff instead of a scatter-add (~1.6x faster)
         from .binning import chain_reduce_indices
         chain = chain_reduce_indices(b.aligned.aligned_gid, xyz.shape[0])
         return (tuple(b.aligned)[:3] + chain
@@ -296,7 +338,7 @@ def compute_binning_cache(params, cam: CameraMats, width: int, height: int,
     cfg = RasterizeConfig(width=width, height=height, tile=tile,
                           pair_cap=pair_cap, tile_cap=tile_cap,
                           impl=impl, pallas_chunk=pallas_chunk).resolved(n)
-    layout = "aligned" if cfg.impl == "pallas" else "padded"
+    layout = "visits" if cfg.impl == "pallas" else "padded"
     return _binning_cache_impl(
         params.xyz, params.scaling_activated(), params.rotation_normalized(),
         params.alive, cam.w2v, cam.full_proj, cam.campos,

@@ -139,11 +139,11 @@ def semantic_train_step(params, opt_state, key,
             # variance. Enable with --mv_tile_subsample K.
             from ..ops.binning import select_tiles_bundle
             from ..ops.rasterize import rasterize_extras_tiles
-            if mv_cached_binning is None or len(mv_cached_binning) < 7:
+            if mv_cached_binning is None or len(mv_cached_binning) < 10:
                 raise ValueError(
-                    "mv_tile_subsample requires the aligned (pallas) binning "
-                    "cache — set pipe.rasterizer_impl='pallas' or run on a "
-                    "non-CPU backend")
+                    "mv_tile_subsample requires the visit-layout (pallas) "
+                    "binning cache — set pipe.rasterizer_impl='pallas' or "
+                    "run on a non-CPU backend")
             K = mv_tile_count
             tile = cfg.tile
             grid_x = (cfg.width + tile - 1) // tile
@@ -160,7 +160,7 @@ def semantic_train_step(params, opt_state, key,
                 mcam = CameraMats(mv_w2v[i], mv_full_proj[i], mv_campos[i])
                 sel = mv_sel_tiles[i]
                 gid, mtile, mrank, n_tr = select_tiles_bundle(
-                    mv_cached_binning[0][i], mv_cached_binning[6][i], sel,
+                    mv_cached_binning[0][i], mv_cached_binning[9][i], sel,
                     chunk_cap=K * 8, n=n, align=cfg.pallas_chunk)
                 mv_trunc = mv_trunc + n_tr  # no silent caps: surfaced below
                 f = rasterize_extras_tiles(

@@ -382,7 +382,7 @@ def test_select_tiles_bundle_matches_full(rng):
     sel = jnp.asarray(sorted(rng.choice(num_tiles, size=3, replace=False)),
                       dtype=jnp.int32)
     gid, mtile, mrank, n_trunc = select_tiles_bundle(
-        cb[0], cb[6], sel, chunk_cap=3 * 48, n=n)
+        cb[0], cb[9], sel, chunk_cap=3 * 48, n=n)
     assert int(n_trunc) == 0
     mini = run((gid, mtile, mrank))
 
@@ -742,3 +742,54 @@ def test_pallas_fwd_empty_tile_final_T(rng):
     out0 = np.asarray(f.out)[0]
     assert np.allclose(out0[9], 1.0), "empty tile must keep final_T = 1"
     assert np.allclose(out0[0:3], 0.0)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_visit_layout_invariants(seed):
+    """build_visits structural invariants: visits tile-ascending with chunk
+    indices non-decreasing (Pallas resident-buffer rule), every tile visited,
+    slot ranges exactly partition [0, covered), every chunk index present
+    (backward output blocks all initialized)."""
+    rng = np.random.default_rng(seed)
+    from instascene_tpu.ops.binning import build_visits
+
+    num_tiles = 12
+    chunk = 128
+    pair_cap = 1280
+    # random tile counts incl. empties and an overflowing total
+    counts = rng.integers(0, 400, num_tiles)
+    counts[rng.integers(0, num_tiles, 3)] = 0
+    total = int(counts.sum())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int32)
+    ends = np.cumsum(counts).astype(np.int32)
+    v = build_visits(jnp.asarray(np.minimum(starts, pair_cap)),
+                     jnp.asarray(np.minimum(ends, pair_cap)),
+                     jnp.int32(total), pair_cap, num_tiles, chunk=chunk)
+    vt = np.asarray(v.visit_tile)
+    vc = np.asarray(v.visit_chunk)
+    s0 = np.asarray(v.visit_s0)
+    s1 = np.asarray(v.visit_s1)
+    ts = np.asarray(v.visit_tstart)
+    covered = min(total, pair_cap)
+    n_chunks = pair_cap // chunk
+
+    assert (np.diff(vt) >= 0).all()          # tile-ascending
+    assert (np.diff(vc) >= 0).all()          # chunk non-decreasing
+    assert set(range(num_tiles)) <= set(vt.tolist())   # every tile visited
+    assert set(range(n_chunks)) <= set(vc.tolist())    # every chunk covered
+
+    # slot ranges partition [0, covered)
+    owned = np.zeros(pair_cap, np.int32)
+    for t, c, a, b in zip(vt, vc, s0, s1):
+        if b > a:
+            owned[c * chunk + a: c * chunk + b] += 1
+    assert (owned[:covered] == 1).all()
+    assert (owned[covered:] == 0).all()
+
+    # per-visit ranges agree with the tile's clamped [start, end)
+    for t, c, a, b, tst in zip(vt, vc, s0, s1, ts):
+        if b > a:
+            lo, hi = c * chunk + a, c * chunk + b
+            assert lo >= min(starts[t], pair_cap)
+            assert hi <= min(ends[t], pair_cap)
+            assert tst == min(starts[t], pair_cap)

@@ -133,18 +133,39 @@ def test_segmentation_engine(tmp_path, rng):
                                 score_threshold=0.9, dbscan_eps=0.3)
     cam = OrbitCamera(64, 48, r=4.0)
     mini = cam.minicam()
-    rgb, feat, feat_rgb = engine.render_view(mini)
+    frame = engine.render_view(mini)
+    rgb, feat = frame["rgb"], frame["feat"]
     assert rgb.shape == (48, 64, 3)
+
+    # depth-mode fetch needs the full kernel (aux maps), not viewer mode
+    aux = engine.render_view(mini, need_aux=True)
+    assert aux["depth"].shape == (48, 64)
+    assert aux["normal"].shape == (48, 64, 3)
+    assert float(aux["alpha"].max()) > 0.1          # something rendered
+    assert float(aux["depth"][aux["alpha"] > 0.5].mean()) > 0.0
+    from instascene_tpu.viewer.gui import RENDER_MODES, compose_frame
+    for mode in RENDER_MODES:
+        buf = compose_frame(engine, aux, mode)
+        assert buf.shape == (48, 64, 3) and np.isfinite(buf).all()
+
     # click on the pixel with max feature-0 response → selects instance 1
     fmap = feat[..., 0]
     y, x = np.unravel_index(np.argmax(fmap), fmap.shape)
     engine.click(mini, x, y)
+    # single-clickmode (multi=False) replaces the prompt instead of extending
+    engine.click(mini, x, y, multi=False)
+    assert len(engine.chosen_features) == 1
+    assert len(engine.prompt_colors) == 1
     mask = engine.gaussian_mask()
     sel_labels = labels[np.asarray(mask)[:len(labels)]]
     assert len(sel_labels) > 10
     assert (sel_labels == 1).mean() > 0.95
     out = engine.segment_3d(str(tmp_path), 0)
     assert os.path.exists(str(tmp_path / "segment_0.ply"))
+    # segment_3d cropped the model; reload_data restores the full set
+    n_after = int(np.asarray(engine.params.alive).sum())
+    engine.reload()
+    assert int(np.asarray(engine.params.alive).sum()) >= n_after
 
 
 def test_network_gui_protocol():
