@@ -30,16 +30,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .blend import TRACK_K
 from .blend_pallas import (CHUNK, _COL, _EXT, _NRM, _OPA, _XY, _cumprod_incl,
-                           _cumsum_incl, _shift_down_one, _splat_terms,
-                           PallasBlendFwdOut)
+                           _cumsum_excl, _cumsum_incl, _shift_down_one,
+                           _splat_terms, PallasBlendFwdOut)
 from .preprocess import FAR_N, FILTER_INV_SQUARE, NEAR_N
 
 
 def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
-                       packed_ref, out_ref, iout_ref,
-                       Tst, m1s, m2s, done_s, *, tile, grid_x, num_tiles,
-                       n_extra, chunk=CHUNK, extras_only=False, viewer=False):
+                       packed_ref, *refs, tile, grid_x, num_tiles,
+                       n_extra, chunk=CHUNK, extras_only=False, viewer=False,
+                       track=False):
+    if track:
+        # track mode: full body + the w>0.1 contributor buffer (the CUDA
+        # gau_related_pixels analogue, forward.cu:422-428, deterministic
+        # per-pixel top-K instead of an atomic append list). The packed
+        # block carries the gaussian id as its LAST column.
+        (out_ref, iout_ref, tid_ref, tw_ref,
+         Tst, m1s, m2s, done_s, cnt_s) = refs
+    else:
+        out_ref, iout_ref, Tst, m1s, m2s, done_s = refs
+        tid_ref = tw_ref = cnt_s = None
     i = pl.program_id(0)
     E = n_extra
     tt = vt_ref[i]
@@ -59,6 +70,10 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         m1s[...] = jnp.zeros_like(m1s)
         m2s[...] = jnp.zeros_like(m2s)
         done_s[...] = jnp.zeros_like(done_s)
+        if track:
+            tid_ref[...] = jnp.full_like(tid_ref, -1)
+            tw_ref[...] = jnp.zeros_like(tw_ref)
+            cnt_s[...] = jnp.zeros_like(cnt_s)
 
     # whole-visit early termination (forward.cu:388-393): once every pixel
     # latched done, later visits of the tile cannot change anything
@@ -103,6 +118,30 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         T_out = T_in * P_c[-1:, :]
         out = out_ref[0]
         iout = iout_ref[0]
+
+        if track:
+            # contributor tracking: blend weight > 0.1, appended in blend
+            # order to each pixel's next free slot (XLA-path parity:
+            # ops/blend.py:160-173). Position = carried count + exclusive
+            # within-visit count; K=10 slots are lossless (sum(w) <= 1).
+            gid_col = bt[:, -1:]                     # f32 ids (exact < 2^24)
+            big = cmask & (w > 0.1)
+            bigf = big.astype(jnp.float32)
+            slotk = cnt_s[0:1] + _cumsum_excl(bigf)  # [C, P2] float
+            for s in range(TRACK_K):
+                sel = big & (slotk == float(s))
+                any_sel = jnp.max(sel.astype(jnp.int32), axis=0,
+                                  keepdims=True) > 0
+                val = jnp.max(jnp.where(sel, gid_col, -1.0), axis=0,
+                              keepdims=True)
+                wval = jnp.max(jnp.where(sel, w, 0.0), axis=0, keepdims=True)
+                tid_ref[0, s:s + 1] = jnp.where(
+                    any_sel, val.astype(jnp.int32), tid_ref[0, s:s + 1])
+                tw_ref[0, s:s + 1] = jnp.where(any_sel, wval,
+                                               tw_ref[0, s:s + 1])
+            cnt_s[0:1] = jnp.minimum(
+                cnt_s[0:1] + jnp.sum(bigf, axis=0, keepdims=True),
+                float(TRACK_K))
 
         if extras_only:
             acc_ext = jnp.dot(bt[:, _EXT:_EXT + E].T, w,
@@ -187,40 +226,60 @@ def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
                             tile: int, grid_x: int, n_extra: int,
                             interpret: bool = False, chunk: int = CHUNK,
                             extras_only: bool = False,
-                            viewer: bool = False) -> PallasBlendFwdOut:
-    """packed [P, D] slot-major (P = pair_cap, % chunk == 0)."""
+                            viewer: bool = False, track: bool = False):
+    """packed [P, D] slot-major (P = pair_cap, % chunk == 0). With track,
+    packed's last column must be the gaussian id (f32) and the return gains
+    (contrib_ids [T,K,P2] int32, contrib_w [T,K,P2] f32)."""
     P, D = packed.shape
     assert P % chunk == 0, P
     V = visit_tile.shape[0]
     P2 = tile * tile
     OC = 12 + n_extra
 
+    out_specs = [
+        pl.BlockSpec((1, OC, P2),
+                     lambda i, vt, vc, s0, s1, ts: (vt[i], 0, 0)),
+        pl.BlockSpec((1, 2, P2),
+                     lambda i, vt, vc, s0, s1, ts: (vt[i], 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((num_tiles, OC, P2), jnp.float32),
+                 jax.ShapeDtypeStruct((num_tiles, 2, P2), jnp.int32)]
+    scratch = [pltpu.VMEM((1, P2), jnp.float32),
+               pltpu.VMEM((1, P2), jnp.float32),
+               pltpu.VMEM((1, P2), jnp.float32),
+               pltpu.VMEM((1, P2), jnp.int32)]
+    if track:
+        out_specs += [
+            pl.BlockSpec((1, TRACK_K, P2),
+                         lambda i, vt, vc, s0, s1, ts: (vt[i], 0, 0)),
+            pl.BlockSpec((1, TRACK_K, P2),
+                         lambda i, vt, vc, s0, s1, ts: (vt[i], 0, 0))]
+        out_shape += [
+            jax.ShapeDtypeStruct((num_tiles, TRACK_K, P2), jnp.int32),
+            jax.ShapeDtypeStruct((num_tiles, TRACK_K, P2), jnp.float32)]
+        scratch += [pltpu.VMEM((1, P2), jnp.float32)]   # contributor count
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(V,),
         in_specs=[pl.BlockSpec((chunk, D),
                                lambda i, vt, vc, s0, s1, ts: (vc[i], 0))],
-        out_specs=[
-            pl.BlockSpec((1, OC, P2),
-                         lambda i, vt, vc, s0, s1, ts: (vt[i], 0, 0)),
-            pl.BlockSpec((1, 2, P2),
-                         lambda i, vt, vc, s0, s1, ts: (vt[i], 0, 0))],
-        scratch_shapes=[pltpu.VMEM((1, P2), jnp.float32),
-                        pltpu.VMEM((1, P2), jnp.float32),
-                        pltpu.VMEM((1, P2), jnp.float32),
-                        pltpu.VMEM((1, P2), jnp.int32)],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(_fwd_kernel_visits, tile=tile, grid_x=grid_x,
                                num_tiles=num_tiles, n_extra=n_extra,
                                chunk=chunk, extras_only=extras_only,
-                               viewer=viewer)
-    out, iout = pl.pallas_call(
+                               viewer=viewer, track=track)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_tiles, OC, P2), jnp.float32),
-                   jax.ShapeDtypeStruct((num_tiles, 2, P2), jnp.int32)],
+        out_shape=out_shape,
         interpret=pltpu.InterpretParams() if interpret else False,
     )(visit_tile, visit_chunk, visit_s0, visit_s1, visit_tstart, packed)
+    if track:
+        out, iout, tids, tw = outs
+        return PallasBlendFwdOut(out=out, iout=iout), tids, tw
+    out, iout = outs
     return PallasBlendFwdOut(out=out, iout=iout)
 
 
@@ -467,6 +526,25 @@ def blend_visits_viewer(flat, binning_bundle, num_tiles, tile, grid_x,
         jax.lax.stop_gradient(flat), binning_bundle, num_tiles, tile, grid_x,
         n_extra, interpret, chunk, viewer=True)
     return out, iout
+
+
+def blend_visits_track(flat, binning_bundle, num_tiles, tile, grid_x,
+                       n_extra, interpret, chunk=CHUNK):
+    """Forward-only FULL blend + per-pixel w>0.1 contributor tracking
+    (Pallas replacement for the XLA fallback the round-2 priors stage paid
+    ~1.1 s/view for). Returns (out, iout, contrib_ids [T,K,P2] int32,
+    contrib_w [T,K,P2] f32); not differentiable."""
+    sorted_gid, vc, vt, vs0, vs1, vts = binning_bundle[:6]
+    flat = jax.lax.stop_gradient(flat)
+    n1 = flat.shape[0]
+    # gaussian id as a trailing f32 column (exact for n < 2^24); the
+    # sentinel zero row never passes the alpha gate, so its id is unread
+    gid_col = jnp.arange(n1, dtype=jnp.float32)[:, None]
+    packed = jnp.concatenate([flat, gid_col], axis=1)[sorted_gid]
+    f, tids, tw = blend_fwd_pallas_visits(
+        packed, vt, vc, vs0, vs1, vts, num_tiles, tile, grid_x, n_extra,
+        interpret, chunk=chunk, track=True)
+    return f.out, f.iout, tids, tw
 
 
 def _blend_visits_diff_fwd(flat, bundle, num_tiles, tile, grid_x, n_extra,

@@ -65,8 +65,10 @@ class RasterizeConfig:
         tile_cap = self.tile_cap or min(pair_cap, 4096)
         impl = self.impl
         if impl == "auto":
+            # track_contrib no longer forces the XLA path: the visit kernel
+            # has a native contributor-tracking mode (round 3)
             impl = ("pallas" if jax.default_backend() not in ("cpu",)
-                    and not self.track_contrib else "xla")
+                    else "xla")
         chunk = self.chunk
         if impl == "pallas":
             chunk = self.pallas_chunk
@@ -108,6 +110,23 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
         visits_bundle = (binning.sorted_gid, v.visit_chunk, v.visit_tile,
                          v.visit_s0, v.visit_s1, v.visit_tstart)
     if visits_bundle is not None:
+        if cfg.track_contrib:
+            from .blend_visits import blend_visits_track
+            from .rasterize_pallas import pallas_tiles_to_map
+            out, iout, tids, tw = blend_visits_track(
+                flat, tuple(visits_bundle), num_tiles, cfg.tile, grid_x, E,
+                interp, cfg.pallas_chunk)
+            maps = maps_from_pallas(out, iout, width, height, cfg.tile, E)
+            color = maps["color_nobg"] + maps["final_T"][..., None] * bg
+            return _BlendOut(
+                color=color, depth=maps["depth"],
+                alpha=1.0 - maps["final_T"], normal=maps["normal"],
+                median_depth=maps["median_depth"],
+                distortion=maps["distortion"], extra=maps["extra"],
+                final_T=maps["final_T"], n_contrib=maps["n_contrib"],
+                contrib_ids=pallas_tiles_to_map(tids, width, height,
+                                                cfg.tile),
+                contrib_w=pallas_tiles_to_map(tw, width, height, cfg.tile))
         if cfg.fwd_viewer:
             out, iout = blend_visits_viewer(flat, tuple(visits_bundle),
                                             num_tiles, cfg.tile, grid_x, E,

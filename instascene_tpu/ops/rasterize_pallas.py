@@ -32,16 +32,21 @@ def pack_inputs(pre, opacities, extras, tile_indices):
     return jnp.transpose(packed, (0, 2, 1))     # [T, D, K]
 
 
-def maps_from_pallas(out, iout, width, height, tile, n_extra):
-    """[T, C, P2] kernel outputs → BlendOut with [H, W, ·] maps."""
+def pallas_tiles_to_map(x, width, height, tile):
+    """[T, C, P2] tile-major kernel output → [H, W, C] image map."""
     grid_x = (width + tile - 1) // tile
     grid_y = (height + tile - 1) // tile
+    c = x.shape[1]
+    x = x.reshape(grid_y, grid_x, c, tile, tile)
+    x = jnp.transpose(x, (0, 3, 1, 4, 2))
+    return x.reshape(grid_y * tile, grid_x * tile, c)[:height, :width]
 
-    def to_map(x):  # [T, C, P2] → [H, W, C]
-        c = x.shape[1]
-        x = x.reshape(grid_y, grid_x, c, tile, tile)
-        x = jnp.transpose(x, (0, 3, 1, 4, 2))
-        return x.reshape(grid_y * tile, grid_x * tile, c)[:height, :width]
+
+def maps_from_pallas(out, iout, width, height, tile, n_extra):
+    """[T, C, P2] kernel outputs → BlendOut with [H, W, ·] maps."""
+
+    def to_map(x):
+        return pallas_tiles_to_map(x, width, height, tile)
 
     maps = to_map(out)
     imaps = to_map(iout)

@@ -793,3 +793,47 @@ def test_visit_layout_invariants(seed):
             assert lo >= min(starts[t], pair_cap)
             assert hi <= min(ends[t], pair_cap)
             assert tst == min(starts[t], pair_cap)
+
+
+def test_pallas_tracker_matches_xla(rng):
+    """Visit-kernel contributor tracking (track_contrib) vs the XLA path
+    (itself pair-set-oracle-tested in test_rasterizer): ids must be
+    IDENTICAL (both append in deterministic blend order with the same
+    w>0.1 gate), weights equal to fp tolerance."""
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              rasterize)
+    pos = np.array([0.0, -3.5, 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="t", width=W, height=H)
+    n = 70
+    xyz = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    scales = np.exp(rng.normal(-1.8, 0.4, (n, 2))).astype(np.float32)
+    rots = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.4, 0.95, (n,)).astype(np.float32)
+    color = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        cfg = RasterizeConfig(width=W, height=H, pair_cap=8192, tile_cap=256,
+                              impl=impl, track_contrib=True)
+        outs[impl] = rasterize(
+            jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(rots),
+            jnp.asarray(opac), cm, jnp.zeros(3), cfg,
+            colors=jnp.asarray(color))
+    bx, bp = outs["xla"].blend, outs["pallas"].blend
+    idx, idp = np.asarray(bx.contrib_ids), np.asarray(bp.contrib_ids)
+    wx, wp = np.asarray(bx.contrib_w), np.asarray(bp.contrib_w)
+    assert idp.shape == idx.shape
+    assert (idp >= -1).all()
+    # some pixels must actually have contributors for the test to mean much
+    assert (idx >= 0).sum() > 100
+    assert np.array_equal(idx, idp)
+    assert np.allclose(wx, wp, atol=1e-5)
+    # the tracked full render itself must also match
+    assert np.allclose(np.asarray(bx.color), np.asarray(bp.color), atol=3e-4)
+    assert np.allclose(np.asarray(bx.final_T), np.asarray(bp.final_T),
+                       atol=2e-5)
