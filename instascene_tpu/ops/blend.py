@@ -73,10 +73,16 @@ def _chunk_body(carry, xs, *, packT, xy, normal, opacity, color, extra,
     Tg = packT[g]                               # [C,9]
     Tu, Tv, Tw = Tg[:, 0:3], Tg[:, 3:6], Tg[:, 6:9]
 
-    # ray-splat intersection (forward.cu:360-371): p = (x·Tw−Tu) × (y·Tw−Tv)
-    k = pxf[None, :, None] * Tw[:, None, :] - Tu[:, None, :]   # [C,P2,3]
-    l = pyf[None, :, None] * Tw[:, None, :] - Tv[:, None, :]
-    p = jnp.cross(k, l)
+    # ray-splat intersection (forward.cu:360-371): p = (x·Tw−Tu) × (y·Tw−Tv),
+    # expanded to its affine-in-pixel form p = x·(Tv×Tw) + y·(Tw×Tu) + Tu×Tv
+    # (the per-gaussian cross products hoist out of the pixel loop) — the same
+    # association as the Pallas kernels' pack_flat_cols, keeping both impls in
+    # float lockstep
+    A = jnp.cross(Tv, Tw)                       # [C,3]
+    B = jnp.cross(Tw, Tu)
+    Cc = jnp.cross(Tu, Tv)
+    p = (pxf[None, :, None] * A[:, None, :] + pyf[None, :, None] * B[:, None, :]
+         + Cc[:, None, :])                      # [C,P2,3]
     pz_ok = p[..., 2] != 0.0
     pz = jnp.where(pz_ok, p[..., 2], 1.0)
     # clip keeps degenerate (never-contributing) lanes' values finite so

@@ -12,10 +12,12 @@ component-unrolled; cumulative products/sums along the gaussian axis become
 lower-triangular matmuls on the MXU (cumprod via exp∘cumsum∘log — safe since
 1-α ≥ 0.01 for contributors).
 
-Packed layout [num_tiles, D, K] (gaussian axis last → 128-lane DMA blocks):
-  rows 0:9  T rows (Tu,Tv,Tw)   9:11 low-pass center xy
-  11:14     view-space normal   14   opacity
-  15:18     color               18:  E extra channels
+Packed layout (see pack_flat_cols; gaussian axis on DMA lanes/sublanes):
+  rows 0:9  affine ray-intersection coefficients A,B,C (p = x·A + y·B + C,
+            the per-gaussian cross products of the T rows)
+  9:12      Tw (T's third row, for the ray-depth chain)
+  12:14     low-pass center xy   14:17 view-space normal   17 opacity
+  18:21     color                21:   E extra channels
 
 Forward semantics match ops/blend.py exactly (itself oracle-tested against the
 CUDA reference semantics, forward.cu:256-462). The backward kernel re-walks
@@ -37,12 +39,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .preprocess import FAR_N, FILTER_INV_SQUARE, NEAR_N
 
-_XY = 9
-_NRM = 11
-_OPA = 14
-_COL = 15
-_EXT = 18
+_TW = 9
+_XY = 12
+_NRM = 14
+_OPA = 17
+_COL = 18
+_EXT = 21
 CHUNK = 128  # gaussians per grid step (sublane-friendly, lane-aligned DMA)
+
+
+def pack_flat_cols(T_used, xy, normal_view, opacities, color, extras=None):
+    """Per-gaussian packed attribute columns for the Pallas kernels, with a
+    trailing sentinel zero row. Returns [N+1, D], D = 21 + E.
+
+    The ray-splat intersection p = (x·Tw−Tu)×(y·Tw−Tv) (forward.cu:360-371)
+    is AFFINE in the pixel coords: expanding the cross product,
+    p = x·(Tv×Tw) + y·(Tw×Tu) + (Tu×Tv). Packing those three per-gaussian
+    cross products instead of the raw T rows moves the k/l/cross evaluation
+    (~9 of ~60 VPU ops per slot-pixel) out of every kernel body into one
+    [N,3]-sized precompute — and shrinks the backward's p-chain the same way
+    (dL/dA = Σ x·dL/dp etc., no per-pixel cross products). The precompute is
+    differentiable, so autodiff routes the A/B/C cotangents back into T
+    (including the densification t_offset tap). Tw is kept for the ray-depth
+    chain (depth = sx·Twx + sy·Twy + Twz)."""
+    n = xy.shape[0]
+    T = jnp.reshape(T_used, (n, 3, 3))
+    Tu, Tv, Tw = T[:, 0], T[:, 1], T[:, 2]
+    A = jnp.cross(Tv, Tw)
+    B = jnp.cross(Tw, Tu)
+    C = jnp.cross(Tu, Tv)
+    cols = [A, B, C, Tw, xy, normal_view,
+            jnp.reshape(opacities, (n, 1)), color]
+    if extras is not None:
+        cols.append(extras)
+    flat = jnp.concatenate(cols, axis=1)
+    return jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)],
+                           axis=0)
 
 
 def _cumsum_incl(x):
@@ -104,20 +136,19 @@ def _pix_coords(tile: int, grid_x: int):
 
 
 def _splat_terms(bt, pxf, pyf):
-    """bt [C, D] packed chunk; pxf/pyf [1, P2]. All outputs [C, P2]."""
-    Tux, Tuy, Tuz = bt[:, 0:1], bt[:, 1:2], bt[:, 2:3]
-    Tvx, Tvy, Tvz = bt[:, 3:4], bt[:, 4:5], bt[:, 5:6]
-    Twx, Twy, Twz = bt[:, 6:7], bt[:, 7:8], bt[:, 8:9]
-    # k = x·Tw − Tu ; l = y·Tw − Tv ; p = k × l   (component-unrolled)
-    kx = pxf * Twx - Tux
-    ky = pxf * Twy - Tuy
-    kz = pxf * Twz - Tuz
-    lx = pyf * Twx - Tvx
-    ly = pyf * Twy - Tvy
-    lz = pyf * Twz - Tvz
-    px_ = ky * lz - kz * ly
-    py_ = kz * lx - kx * lz
-    pz_ = kx * ly - ky * lx
+    """bt [C, D] packed chunk; pxf/pyf [1, P2]. All outputs [C, P2].
+
+    p = x·A + y·B + C with the per-gaussian affine coefficients precomputed
+    by pack_flat_cols (≡ (x·Tw−Tu)×(y·Tw−Tv), forward.cu:360-371)."""
+    Ax, Ay, Az = bt[:, 0:1], bt[:, 1:2], bt[:, 2:3]
+    Bx, By, Bz = bt[:, 3:4], bt[:, 4:5], bt[:, 5:6]
+    Cx, Cy, Cz = bt[:, 6:7], bt[:, 7:8], bt[:, 8:9]
+    Twx = bt[:, _TW:_TW + 1]
+    Twy = bt[:, _TW + 1:_TW + 2]
+    Twz = bt[:, _TW + 2:_TW + 3]
+    px_ = pxf * Ax + pyf * Bx + Cx
+    py_ = pxf * Ay + pyf * By + Cy
+    pz_ = pxf * Az + pyf * Bz + Cz
     pz_ok = pz_ != 0.0
     pz = jnp.where(pz_ok, pz_, 1.0)
     inv_pz = 1.0 / pz                 # one reciprocal, two multiplies
@@ -136,7 +167,6 @@ def _splat_terms(bt, pxf, pyf):
     m = pz_ok & (depth_ray >= NEAR_N) & (power <= 0.0) & (alpha >= 1.0 / 255.0)
     return dict(alpha=alpha, m=m, depth_ray=depth_ray, use3d=use3d,
                 sx=sx, sy=sy, pz=pz, inv_pz=inv_pz, G=G, dx=dx, dy=dy,
-                kx=kx, ky=ky, kz=kz, lx=lx, ly=ly, lz=lz,
                 Twx=Twx, Twy=Twy, Twz=Twz)
 
 
@@ -387,21 +417,15 @@ def _bwd_kernel(count_ref, packed_ref, gout_ref, sv_ref, iout_ref, dout_ref,
         dLdpx = dLdsx * inv_pz
         dLdpy = dLdsy * inv_pz
         dLdpz = -(dLdsx * sx + dLdsy * sy) * inv_pz
-        kx, ky, kz = g["kx"], g["ky"], g["kz"]
-        lx, ly, lz = g["lx"], g["ly"], g["lz"]
-        dkx = ly * dLdpz - lz * dLdpy
-        dky = lz * dLdpx - lx * dLdpz
-        dkz = lx * dLdpy - ly * dLdpx
-        dlx = dLdpy * kz - dLdpz * ky
-        dly = dLdpz * kx - dLdpx * kz
-        dlz = dLdpx * ky - dLdpy * kx
-        dTu = (-dkx, -dky, -dkz)
-        dTv = (-dlx, -dly, -dlz)
+        # p = x·A + y·B + C, so the p-chain grads are plain pixel-weighted
+        # sums of dL/dp (autodiff routes dA/dB/dC back into T outside the
+        # kernel via the cross-product VJPs) — no per-pixel cross products
+        dA = (pxf * dLdpx, pxf * dLdpy, pxf * dLdpz)
+        dB = (pyf * dLdpx, pyf * dLdpy, pyf * dLdpz)
+        dC = (dLdpx, dLdpy, dLdpz)
         dd3 = jnp.where(use3d, dLdd, 0.0)
         dd2 = jnp.where(use3d, 0.0, dLdd)
-        dTw = (pxf * dkx + pyf * dlx + dd3 * sx,
-               pxf * dky + pyf * dly + dd3 * sy,
-               pxf * dkz + pyf * dlz + dd3 + dd2)
+        dTw = (dd3 * sx, dd3 * sy, dd3 + dd2)   # ray-depth chain only
         # --- 2d branch: grads to the low-pass center
         in2d = cmask & ~g["use3d"]
         dxq, dyq = g["dx"], g["dy"]
@@ -412,18 +436,18 @@ def _bwd_kernel(count_ref, packed_ref, gout_ref, sv_ref, iout_ref, dout_ref,
         def rsum(x):
             return jnp.sum(x, axis=1, keepdims=True)     # [C,1]
 
-        dT_rows = [rsum(v) for v in (dTu + dTv + dTw)]    # 9 × [C,1]
+        dT_rows = [rsum(v) for v in (dA + dB + dC + dTw)]  # 12 × [C,1]
         dxy_rows = [rsum(dxy_x), rsum(dxy_y)]
         dnrm = jnp.dot(w, gnrm.T, preferred_element_type=jnp.float32)  # [C,3]
         dcol = jnp.dot(w, gcol.T, preferred_element_type=jnp.float32)
         rows = jnp.concatenate(
             dT_rows + dxy_rows
             + [dnrm[:, 0:1], dnrm[:, 1:2], dnrm[:, 2:3], rsum(dopa),
-               dcol[:, 0:1], dcol[:, 1:2], dcol[:, 2:3]], axis=1)  # [C, 18]
+               dcol[:, 0:1], dcol[:, 1:2], dcol[:, 2:3]], axis=1)  # [C, 21]
         if E:
             gext = gout_ref[0, 10:10 + E]
             dext = jnp.dot(w, gext.T, preferred_element_type=jnp.float32)
-            rows = jnp.concatenate([rows, dext], axis=1)  # [C, 18+E]
+            rows = jnp.concatenate([rows, dext], axis=1)  # [C, 21+E]
         dout_ref[0] = rows.T                               # [D, C]
 
         Tst[0:1] = T_entry
@@ -634,7 +658,7 @@ def _fwd_kernel_aligned(ct_ref, cr_ref, packed_ref, out_ref, iout_ref,
             return
 
         # one MXU pass accumulates normal(3) + opacity placeholder + color(3)
-        # [+ extras]: packed rows 11:18+E are contiguous
+        # [+ extras]: packed rows 14:21+E are contiguous
         acc_sel = jnp.dot(bt[:, _NRM:_NRM + 7 + E].T, w,
                           preferred_element_type=jnp.float32)  # [7+E, P2]
         acc_nrm = acc_sel[0:3]
@@ -873,19 +897,9 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         dLdpx = dLdsx * inv_pz
         dLdpy = dLdsy * inv_pz
         dLdpz = -(dLdsx * sx + dLdsy * sy) * inv_pz
-        kx, ky, kz = g["kx"], g["ky"], g["kz"]
-        lx, ly, lz = g["lx"], g["ly"], g["lz"]
-        dkx = ly * dLdpz - lz * dLdpy
-        dky = lz * dLdpx - lx * dLdpz
-        dkz = lx * dLdpy - ly * dLdpx
-        dlx = dLdpy * kz - dLdpz * ky
-        dly = dLdpz * kx - dLdpx * kz
-        dlz = dLdpx * ky - dLdpy * kx
+        # p-chain grads through the affine coefficients (see pack_flat_cols)
         dd3 = jnp.where(use3d, dLdd, 0.0)
         dd2 = jnp.where(use3d, 0.0, dLdd)
-        dTw_x = pxf * dkx + pyf * dlx + dd3 * sx
-        dTw_y = pxf * dky + pyf * dly + dd3 * sy
-        dTw_z = pxf * dkz + pyf * dlz + dd3 + dd2
         in2d = cmask & ~g["use3d"]
         dxq, dyq = g["dx"], g["dy"]
         dxy_x = jnp.where(in2d, dLdrho * FILTER_INV_SQUARE * 2.0 * dxq, 0.0)
@@ -899,9 +913,10 @@ def _bwd_kernel_aligned(ct_ref, cr_ref, packed_ref, gout_ref, sv_ref,
         # the normal/opacity-placeholder/color/extras grads together
         dsel = jnp.dot(w, gsel.T, preferred_element_type=jnp.float32)
         rows = jnp.concatenate(
-            [rsum(-dkx), rsum(-dky), rsum(-dkz),
-             rsum(-dlx), rsum(-dly), rsum(-dlz),
-             rsum(dTw_x), rsum(dTw_y), rsum(dTw_z),
+            [rsum(pxf * dLdpx), rsum(pxf * dLdpy), rsum(pxf * dLdpz),
+             rsum(pyf * dLdpx), rsum(pyf * dLdpy), rsum(pyf * dLdpz),
+             rsum(dLdpx), rsum(dLdpy), rsum(dLdpz),
+             rsum(dd3 * sx), rsum(dd3 * sy), rsum(dd3 + dd2),
              rsum(dxy_x), rsum(dxy_y),
              dsel[:, 0:3], rsum(dopa), dsel[:, 4:7 + E]], axis=1)
         dout_ref[...] = rows                     # [C, D] slot-major

@@ -409,19 +409,9 @@ def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         dLdpx = dLdsx * inv_pz
         dLdpy = dLdsy * inv_pz
         dLdpz = -(dLdsx * sx + dLdsy * sy) * inv_pz
-        kx, ky, kz = g["kx"], g["ky"], g["kz"]
-        lx, ly, lz = g["lx"], g["ly"], g["lz"]
-        dkx = ly * dLdpz - lz * dLdpy
-        dky = lz * dLdpx - lx * dLdpz
-        dkz = lx * dLdpy - ly * dLdpx
-        dlx = dLdpy * kz - dLdpz * ky
-        dly = dLdpz * kx - dLdpx * kz
-        dlz = dLdpx * ky - dLdpy * kx
+        # p-chain grads through the affine coefficients (see pack_flat_cols)
         dd3 = jnp.where(use3d, dLdd, 0.0)
         dd2 = jnp.where(use3d, 0.0, dLdd)
-        dTw_x = pxf * dkx + pyf * dlx + dd3 * sx
-        dTw_y = pxf * dky + pyf * dly + dd3 * sy
-        dTw_z = pxf * dkz + pyf * dlz + dd3 + dd2
         in2d = cmask & ~g["use3d"]
         dxq, dyq = g["dx"], g["dy"]
         dxy_x = jnp.where(in2d, dLdrho * FILTER_INV_SQUARE * 2.0 * dxq, 0.0)
@@ -432,9 +422,10 @@ def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
 
         dsel = jnp.dot(w, gsel.T, preferred_element_type=jnp.float32)
         rows = jnp.concatenate(
-            [rsum(-dkx), rsum(-dky), rsum(-dkz),
-             rsum(-dlx), rsum(-dly), rsum(-dlz),
-             rsum(dTw_x), rsum(dTw_y), rsum(dTw_z),
+            [rsum(pxf * dLdpx), rsum(pxf * dLdpy), rsum(pxf * dLdpz),
+             rsum(pyf * dLdpx), rsum(pyf * dLdpy), rsum(pyf * dLdpz),
+             rsum(dLdpx), rsum(dLdpy), rsum(dLdpz),
+             rsum(dd3 * sx), rsum(dd3 * sy), rsum(dd3 + dd2),
              rsum(dxy_x), rsum(dxy_y),
              dsel[:, 0:3], rsum(dopa), dsel[:, 4:7 + E]], axis=1)
         dout_ref[...] = jnp.where(rowmask, rows, base)

@@ -88,22 +88,17 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
     (tile-subset / cached-aligned bundles). Tracker unsupported here —
     track_contrib forces the XLA path."""
     from .blend import BlendOut as _BlendOut
-    from .blend_pallas import blend_aligned_diff, blend_aligned_viewer
+    from .blend_pallas import (blend_aligned_diff, blend_aligned_viewer,
+                               pack_flat_cols)
     from .blend_visits import blend_visits_diff, blend_visits_viewer
     from .rasterize_pallas import maps_from_pallas
 
-    n = pre.T.shape[0]
     E = extras.shape[1] if extras is not None else 0
     grid_x = (width + cfg.tile - 1) // cfg.tile
     grid_y = (height + cfg.tile - 1) // cfg.tile
     num_tiles = grid_x * grid_y
-    cols = [T_used.reshape(n, 9), pre.xy, pre.normal_view,
-            jnp.reshape(opacities, (n, 1)), pre.color]
-    if extras is not None:
-        cols.append(extras)
-    flat = jnp.concatenate(cols, axis=1)
-    flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)],
-                           axis=0)
+    flat = pack_flat_cols(T_used, pre.xy, pre.normal_view, opacities,
+                          pre.color, extras)
     interp = jax.default_backend() == "cpu"  # tests exercise interpret mode
     if visits_bundle is None and binning.visits is not None:
         v = binning.visits
@@ -276,10 +271,9 @@ def rasterize_extras_tiles(means3d, scales, rotations, opacities,
     kernel output — no full-image map reconstruction. Returns [K, P2, E]
     (row-major pixels within each 16x16 tile). Differentiable w.r.t.
     `extras`; powers the tile-subsampled multi-view contrastive loss."""
-    from .blend_pallas import blend_aligned_diff
+    from .blend_pallas import blend_aligned_diff, pack_flat_cols
 
     cfg = cfg.resolved(means3d.shape[0])
-    n = means3d.shape[0]
     grid_x = (cfg.width + cfg.tile - 1) // cfg.tile
     grid_y = (cfg.height + cfg.tile - 1) // cfg.tile
     num_tiles = grid_x * grid_y
@@ -288,11 +282,8 @@ def rasterize_extras_tiles(means3d, scales, rotations, opacities,
         cfg.width, cfg.height, color=means3d[:, :3] * 0.0, tile=cfg.tile,
         alive=alive)
     E = extras.shape[1]
-    flat = jnp.concatenate(
-        [pre.T.reshape(n, 9), pre.xy, pre.normal_view,
-         jnp.reshape(opacities, (n, 1)), pre.color, extras], axis=1)
-    flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)],
-                           axis=0)
+    flat = pack_flat_cols(pre.T, pre.xy, pre.normal_view, opacities,
+                          pre.color, extras)
     interp = jax.default_backend() == "cpu"
     out, _ = blend_aligned_diff(flat, tuple(mini_bundle), num_tiles,
                                 cfg.tile, grid_x, E, interp,

@@ -20,14 +20,9 @@ from .preprocess import preprocess_gaussians
 
 def pack_inputs(pre, opacities, extras, tile_indices):
     """Gather per-gaussian attrs into the packed [T, D, K] tensor."""
-    n = pre.T.shape[0]
-    cols = [pre.T.reshape(n, 9), pre.xy, pre.normal_view,
-            jnp.reshape(opacities, (n, 1)), pre.color]
-    if extras is not None:
-        cols.append(extras)
-    flat = jnp.concatenate(cols, axis=1)
-    flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)],
-                           axis=0)
+    from .blend_pallas import pack_flat_cols
+    flat = pack_flat_cols(pre.T, pre.xy, pre.normal_view, opacities,
+                          pre.color, extras)
     packed = flat[tile_indices]                  # [T, K, D]
     return jnp.transpose(packed, (0, 2, 1))     # [T, D, K]
 

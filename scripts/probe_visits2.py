@@ -88,10 +88,8 @@ def main():
                                    alive=params.alive)
         b = bin_gaussians(pre, width, height, pair_cap, 0, tile=tile,
                           layout="visits")
-        flat = jnp.concatenate(
-            [pre.T.reshape(n, 9), pre.xy, pre.normal_view,
-             jnp.reshape(opa, (n, 1)), pre.color], axis=1)
-        flat = jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]))], axis=0)
+        from instascene_tpu.ops.blend_pallas import pack_flat_cols
+        flat = pack_flat_cols(pre.T, pre.xy, pre.normal_view, opa, pre.color)
         packed = flat[b.sorted_gid]
         return packed[0, 0] * 1e-20 + s
     chain(pre_bin_gather, "preprocess + binning(visits) + pack gather")
@@ -111,7 +109,7 @@ def main():
                                          impl="pallas", pair_cap=pair_cap)
     sorted_gid, vch, vt, vs0, vs1, vts = cb[:6]
     rng = np.random.default_rng(0)
-    flat0 = jnp.asarray(rng.random((n + 1, 18)).astype(np.float32))
+    flat0 = jnp.asarray(rng.random((n + 1, 21)).astype(np.float32))
     packed0 = flat0[sorted_gid]
     from instascene_tpu.ops.blend_visits import blend_fwd_pallas_visits
 

@@ -37,12 +37,12 @@ def build_packed(rng, n=80, extra_dim=4, tile_cap=CHUNK * 2):
     binning = bin_gaussians(pre, W, H, pair_cap=8192, tile_cap=tile_cap)
     assert int(binning.n_dropped) == 0
 
+    from instascene_tpu.ops.blend_pallas import pack_flat_cols
+
     pad1 = lambda a: jnp.concatenate(
         [a, jnp.zeros((1,) + a.shape[1:], a.dtype)], axis=0)
-    flat = jnp.concatenate([
-        pre.T.reshape(n, 9), pre.xy, pre.normal_view,
-        jnp.asarray(opac)[:, None], pre.color, jnp.asarray(extra)], axis=1)
-    flat = pad1(flat)
+    flat = pack_flat_cols(pre.T, pre.xy, pre.normal_view, jnp.asarray(opac),
+                          pre.color, jnp.asarray(extra))
     packed = flat[binning.tile_indices]          # [T, K, D]
     packed_t = jnp.transpose(packed, (0, 2, 1))  # [T, D, K]
     args = dict(tile_indices=binning.tile_indices,
@@ -94,8 +94,11 @@ def test_pallas_fwd_matches_xla(rng):
 
 
 def test_pallas_bwd_matches_xla_grads(rng):
-    """custom-VJP Pallas blend grads vs jax.grad through the XLA blend."""
-    from instascene_tpu.ops.blend_pallas import blend_pallas_diff
+    """custom-VJP Pallas blend grads vs jax.grad through the XLA blend,
+    compared per-gaussian (grads flow through pack_flat_cols' affine
+    coefficients back into T, exercising the full VJP chain)."""
+    from instascene_tpu.ops.blend_pallas import (blend_pallas_diff,
+                                                 pack_flat_cols)
 
     packed_t, tile_count, args, E = build_packed(rng)
     key = jax.random.PRNGKey(1)
@@ -106,13 +109,18 @@ def test_pallas_bwd_matches_xla_grads(rng):
     wout = jax.random.normal(key, (n_tiles, OC, P2))
     wout = wout.at[:, 10 + E:].set(0.0)
 
-    def loss_pallas(p):
+    def loss_pallas(packT, xy, normal, opacity, color, extra):
+        flat = pack_flat_cols(packT[:-1], xy[:-1], normal[:-1], opacity[:-1],
+                              color[:-1], extra[:-1])
+        p = jnp.transpose(flat[args["tile_indices"]], (0, 2, 1))
         out, _ = blend_pallas_diff(p, tile_count.astype(jnp.int32), TILE,
                                    GRID_X, E, True)
         return jnp.sum(out * wout)
 
-    val_p = loss_pallas(packed_t)
-    g_pallas = jax.grad(loss_pallas)(packed_t)          # [T, D, K]
+    pargs = (args["packT"], args["xy"], args["normal"], args["opacity"],
+             args["color"], args["extra"])
+    val_p = loss_pallas(*pargs)
+    g_pallas = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4, 5))(*pargs)
 
     # equivalent loss through the XLA path: rebuild the same per-row weights
     def loss_xla(packT, xy, normal, opacity, color, extra):
@@ -144,19 +152,10 @@ def test_pallas_bwd_matches_xla_grads(rng):
     assert np.isclose(float(val_p), float(val_x), rtol=1e-4), (val_p, val_x)
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5))(*xargs)
 
-    # scatter-add pallas packed grads back to per-gaussian grads
-    tidx = np.asarray(args["tile_indices"])              # [T, K]
-    gp = np.asarray(jnp.transpose(g_pallas, (0, 2, 1)))  # [T, K, D]
-    n1 = args["packT"].shape[0]
-    D = gp.shape[-1]
-    acc = np.zeros((n1, D), np.float32)
-    np.add.at(acc, tidx.reshape(-1), gp.reshape(-1, D))
-
     names = ["packT", "xy", "normal", "opacity", "color", "extra"]
-    slices = [slice(0, 9), slice(9, 11), slice(11, 14), slice(14, 15),
-              slice(15, 18), slice(18, 18 + E)]
-    for nm, sl, gx in zip(names, slices, g_xla):
-        a = acc[:, sl]
+    n1 = args["packT"].shape[0]
+    for nm, gp_, gx in zip(names, g_pallas, g_xla):
+        a = np.asarray(gp_).reshape(n1, -1)
         b = np.asarray(gx).reshape(n1, -1)
         denom = np.abs(b).max() + 1e-8
         err = np.abs(a - b).max() / denom
