@@ -77,7 +77,6 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
     opt = OptimizationParams()
     opt_state = init_adam_state(params)
     lrs = semantic_lrs(opt)
-    cfg = RasterizeConfig(width=width, height=height, bwd_extras_only=True)
     key = jax.random.PRNGKey(0)
     n_mv = 5
     zeros_mv = (jnp.zeros((n_mv, 4, 4)), jnp.zeros((n_mv, 4, 4)),
@@ -86,18 +85,31 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
     lab3d = jnp.asarray(rng.integers(0, 40, params.capacity).astype(np.int32))
     cf = jnp.zeros((64, 16))
 
-    # frozen-geometry binning cache (as the semantic trainer does)
+    # frozen-geometry binning cache with the trainer's snug-cap sizing
+    # (SegSplatting._precompute_binning): probe true totals, cap at 1.1x —
+    # the per-step pack gather and chain-reduce run over pair_cap rows
     from instascene_tpu.ops.rasterize import CameraMats, compute_binning_cache
+    max_pairs = 0
+    for ct in cams:
+        _, tc, _ = compute_binning_cache(
+            params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
+            width, height, tile_cap=128, impl="xla")
+        max_pairs = max(max_pairs, int(jnp.sum(tc)))
+    snug_cap = max(128 * 1024, (int(max_pairs * 1.1) + 1023) // 1024 * 1024)
+    cfg = RasterizeConfig(width=width, height=height, bwd_extras_only=True,
+                          pair_cap=snug_cap)
     cache = []
     for ct in cams:
         cb, tc, nd = compute_binning_cache(
             params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
-            width, height)
+            width, height, pair_cap=snug_cap)
+        assert int(nd) == 0, "snug cap dropped pairs"
         cache.append(cb)
     mv_cb = tuple(jnp.zeros((n_mv,) + a.shape, jnp.int32) for a in cache[0])
-    # per-camera validity prefix sums (as the semantic trainer precomputes)
-    seg_cs = jnp.cumsum((segmap.reshape(-1) > 0).astype(jnp.int32))
-    vis_cs = jnp.cumsum((lab3d > 0).astype(jnp.int32))
+    # per-camera valid-index sampler packs (as the semantic trainer does)
+    from instascene_tpu.semantic.contrastive import valid_ids_pack
+    seg_cs = valid_ids_pack(segmap.reshape(-1) > 0)
+    vis_cs = valid_ids_pack(lab3d > 0)
 
     bg = jnp.zeros(3)
     lam = (jnp.float32(1e-6), jnp.float32(0.0), jnp.float32(2.5e-6))
@@ -110,8 +122,8 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
             *zeros_mv, lab3d, cf, bg, lrs,
             *lam, cfg, 32 * 1024, 64, False, False, False, n_mv,
             cached_binning=cache[i % len(cams)], mv_cached_binning=mv_cb,
-            has_csums=True, seg_csum=seg_cs, sorted_csum=seg_cs,
-            vis3d_csum=vis_cs)
+            has_sampler=True, seg_samp=seg_cs, sorted_samp=seg_cs,
+            vis3d_samp=vis_cs)
         return p, s, k, loss
 
     # real multi-view inputs (views 1..5) for the every-10th-iter MV step
@@ -139,8 +151,8 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
             lam[0], lam_mv, lam[2], cfg, 32 * 1024, 64, False, False,
             True, n_mv,
             cached_binning=cache[i % len(cams)], mv_cached_binning=mv_real_cb,
-            has_csums=True, seg_csum=seg_cs, sorted_csum=seg_cs,
-            vis3d_csum=vis_cs, mv_tile_count=tile_sub,
+            has_sampler=True, seg_samp=seg_cs, sorted_samp=seg_cs,
+            vis3d_samp=vis_cs, mv_tile_count=tile_sub,
             mv_sel_tiles=sel if tile_sub else None)
         return p, s, k, loss
 
@@ -264,7 +276,11 @@ def bench_render_fps(params, make_cam, width=1920, height=1080, iters=20,
                                          impl="xla")
         total = int(jnp.sum(tc))
         if total < 0.95 * pair_cap:
-            pair_cap = (int(total * 1.3) + 127) // 128 * 128
+            # the exact total for this camera was just probed; every binning
+            # chain, the sort, the pack gather and the kernel tail scale with
+            # the cap, so keep the slack snug (product render paths grow
+            # their caps on n_dropped instead)
+            pair_cap = (int(total * 1.1) + 127) // 128 * 128
             break
         pair_cap *= 2
     cfg = RasterizeConfig(width=width, height=height, pair_cap=pair_cap,

@@ -35,23 +35,37 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return np.outer(g, g).astype(np.float32)
 
 
+@functools.lru_cache()
+def _blur_matrix(n: int, window_size: int = 11,
+                 sigma: float = 1.5) -> np.ndarray:
+    """[n, n] banded separable-blur matrix. Rows near the border truncate
+    their taps without renormalizing — exactly the reference conv's SAME
+    zero-padding semantics (utils/loss_utils.py uses F.conv2d pad=w//2)."""
+    xs = np.arange(window_size) - window_size // 2
+    g = np.exp(-(xs ** 2) / (2 * sigma ** 2)).astype(np.float64)
+    g = g / g.sum()
+    m = np.zeros((n, n), np.float32)
+    for o, w in zip(xs, g):
+        d = np.full(n - abs(o), np.float32(w))
+        m += np.diag(d, k=int(o))
+    return m
+
+
 def _window_conv(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise gaussian blur with same padding, img [H,W,C]. The 2D window
-    is separable (outer(g, g)) — run two 1D depthwise convs (11+11 taps
-    instead of 121; the six blurs dominate the SSIM cost)."""
-    c = img.shape[-1]
+    """Separable gaussian blur with zero-pad SAME semantics, img [H,W,C].
+
+    Formulated as two banded-matrix contractions instead of depthwise convs:
+    XLA lowers depthwise conv to the VPU (measured 10.4 ms for the SSIM
+    value+grad at 976x728x15 on v5e), while these dots ride the MXU — the
+    band matrices are tiny per-resolution constants and autodiff's transposes
+    are matmuls too."""
     k = window.shape[0]
-    g1 = jnp.asarray(window[k // 2, :] / window[k // 2, :].sum(),
-                     jnp.float32)
-    kern_w = jnp.tile(g1[None, :, None, None], (1, 1, 1, c))   # (1,k,1,C)
-    kern_h = jnp.tile(g1[:, None, None, None], (1, 1, 1, c))   # (k,1,1,C)
-    x = img[None]  # NHWC
-    for kern in (kern_w, kern_h):
-        x = jax.lax.conv_general_dilated(
-            x, kern, window_strides=(1, 1), padding="SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=c, precision=jax.lax.Precision.HIGHEST)
-    return x[0]
+    h, w = img.shape[0], img.shape[1]
+    mh = jnp.asarray(_blur_matrix(h, k))
+    mw = jnp.asarray(_blur_matrix(w, k))
+    hi = jax.lax.Precision.HIGHEST
+    x = jnp.tensordot(mh, img, axes=[[1], [0]], precision=hi)   # [H,W,C]
+    return jnp.einsum("hwc,wv->hvc", x, mw, precision=hi)       # [H,W,C]
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:

@@ -59,9 +59,18 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
     s0 = vs0_ref[i]
     s1 = vs1_ref[i]
 
-    # every tile owns >= one visit (empty tiles get an s0==s1 one), so the
-    # init below runs exactly once per tile — no unvisited-row fixup needed
-    @pl.when(first)
+    # FULL mode writes every out/iout row and every carry absolutely in
+    # _work, so a tile's first working visit needs no separate zero-store
+    # pass — stale buffer contents are displaced by first-predicated selects
+    # inside _work (~45% of 1080p visits are firsts; the double store was
+    # measurable). The slim modes (viewer/extras_only) write only a row
+    # subset and track's contributor buffers are RMW, so they keep the
+    # explicit init. Empty tiles (their single s0==s1 visit) always need it.
+    select_init = not (extras_only or viewer or track)
+
+    # every tile owns >= one visit (empty tiles get an s0==s1 one), so init
+    # runs exactly once per tile — no unvisited-row fixup needed
+    @pl.when(first & (s1 <= s0) if select_init else first)
     def _init():
         out_ref[...] = jnp.zeros_like(out_ref)
         out_ref[0, 9:10] = jnp.ones_like(out_ref[0, 9:10])  # final_T = 1
@@ -98,8 +107,15 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         alpha = g["alpha"]
         depth_ray = g["depth_ray"]
 
-        T_in = Tst[0:1]
-        done_in = done_s[0:1] > 0
+        if select_init:
+            # first working visit of a tile: displace the stale buffer
+            # contents with the init values via scalar-predicated selects
+            # (see select_init above) instead of a separate zero-store pass
+            T_in = jnp.where(first, 1.0, Tst[0:1])
+            done_in = (~first) & (done_s[0:1] > 0)
+        else:
+            T_in = Tst[0:1]
+            done_in = done_s[0:1] > 0
         am = jnp.where(m, alpha, 0.0)
         om = 1.0 - am
         P_incl = _cumprod_incl(om)
@@ -116,8 +132,12 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         gslot = slot + 1
         lastc = jnp.max(jnp.where(cmask, gslot, 0), axis=0, keepdims=True)
         T_out = T_in * P_c[-1:, :]
-        out = out_ref[0]
-        iout = iout_ref[0]
+        if select_init:
+            out = jnp.where(first, 0.0, out_ref[0])
+            iout = jnp.where(first, 0, iout_ref[0])
+        else:
+            out = out_ref[0]
+            iout = iout_ref[0]
 
         if track:
             # contributor tracking: blend weight > 0.1, appended in blend
@@ -177,8 +197,14 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         m2w = md * md * w
         mm_excl = _cumsum_excl_pair(mw, m2w)
         P2 = tile * tile
-        m1_excl = m1s[0:1] + mm_excl[:, :P2]
-        m2_excl = m2s[0:1] + mm_excl[:, P2:]
+        if select_init:
+            m1_in = jnp.where(first, 0.0, m1s[0:1])
+            m2_in = jnp.where(first, 0.0, m2s[0:1])
+        else:
+            m1_in = m1s[0:1]
+            m2_in = m2s[0:1]
+        m1_excl = m1_in + mm_excl[:, :P2]
+        m2_excl = m2_in + mm_excl[:, P2:]
         acc_dist = jnp.sum((md * md * (1.0 - T_c) + m2_excl
                             - 2.0 * md * m1_excl) * w, axis=0, keepdims=True)
 
@@ -192,6 +218,8 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         med_slot = jnp.max(jnp.where(med_onehot, gslot, 0), axis=0,
                            keepdims=True)
 
+        m1_new = m1_in + jnp.sum(mw, axis=0, keepdims=True)
+        m2_new = m2_in + jnp.sum(m2w, axis=0, keepdims=True)
         out_ref[0, 0:3] = out[0:3] + acc_col
         out_ref[0, 3:4] = out[3:4] + acc_dep
         out_ref[0, 4:7] = out[4:7] + acc_nrm
@@ -200,17 +228,15 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         out_ref[0, 9:10] = T_out
         if E:
             out_ref[0, 10:10 + E] = out[10:10 + E] + acc_sel[7:7 + E]
-        out_ref[0, 10 + E:11 + E] = m1s[0:1] + jnp.sum(mw, axis=0,
-                                                       keepdims=True)
-        out_ref[0, 11 + E:12 + E] = m2s[0:1] + jnp.sum(m2w, axis=0,
-                                                       keepdims=True)
+        out_ref[0, 10 + E:11 + E] = m1_new
+        out_ref[0, 11 + E:12 + E] = m2_new
 
         iout_ref[0, 0:1] = jnp.maximum(iout[0:1], lastc)
         iout_ref[0, 1:2] = jnp.where(has_cand, med_slot, iout[1:2])
 
         Tst[0:1] = T_out
-        m1s[0:1] = m1s[0:1] + jnp.sum(mw, axis=0, keepdims=True)
-        m2s[0:1] = m2s[0:1] + jnp.sum(m2w, axis=0, keepdims=True)
+        m1s[0:1] = m1_new
+        m2s[0:1] = m2_new
         done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
 
 

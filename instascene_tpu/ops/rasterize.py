@@ -121,7 +121,8 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
                 final_T=maps["final_T"], n_contrib=maps["n_contrib"],
                 contrib_ids=pallas_tiles_to_map(tids, width, height,
                                                 cfg.tile),
-                contrib_w=pallas_tiles_to_map(tw, width, height, cfg.tile))
+                contrib_w=pallas_tiles_to_map(tw, width, height, cfg.tile),
+                extra_tiles=out[:, 10:10 + E, :])
         if cfg.fwd_viewer:
             out, iout = blend_visits_viewer(flat, tuple(visits_bundle),
                                             num_tiles, cfg.tile, grid_x, E,
@@ -146,7 +147,8 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
                      median_depth=maps["median_depth"],
                      distortion=maps["distortion"], extra=maps["extra"],
                      final_T=maps["final_T"], n_contrib=maps["n_contrib"],
-                     contrib_ids=None, contrib_w=None)
+                     contrib_ids=None, contrib_w=None,
+                     extra_tiles=out[:, 10:10 + E, :])
 
 
 class RasterizeOut(NamedTuple):

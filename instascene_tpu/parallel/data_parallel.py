@@ -120,7 +120,7 @@ def build_dp_semantic_step(cfg: RasterizeConfig, mesh: Mesh,
                            lam_sv: float = 1e-6, lam_3d: float = 2.5e-6,
                            consider_negative: bool = False,
                            has_class_feat: bool = False,
-                           has_csums: bool = False,
+                           has_sampler: bool = False,
                            has_cached_binning: bool = False,
                            cb_len: int = 6):
     """Jitted DP semantic (contrastive) step over `mesh` ('data' axis), full
@@ -135,7 +135,9 @@ def build_dp_semantic_step(cfg: RasterizeConfig, mesh: Mesh,
     Call as fn(params, opt_state, key[B,2], w2v[B,4,4], full_proj[B,4,4],
     campos[B,3], segmap[B,H,W], sorted_segmap[B,H,W], seg3d_labels[N],
     class_feat[L,F], bg[3], lr, cached_binning (stacked bundle or None),
-    seg_csum[B,HW], sorted_csum[B,HW], vis3d_csum[B,N]) with B == mesh size;
+    seg_samp[B,HW+1], sorted_samp[B,HW+1], vis3d_samp[B,N+1] — per-camera
+    valid-index sampler packs (contrastive.valid_ids_pack) — with B == mesh
+    size;
     returns (params, opt_state, loss)."""
     from jax.experimental.shard_map import shard_map
 
@@ -144,7 +146,7 @@ def build_dp_semantic_step(cfg: RasterizeConfig, mesh: Mesh,
 
     def per_device(params, opt_state, key, w2v, full_proj, campos, segmap,
                    sorted_segmap, seg3d_labels, class_feat, bg, lr,
-                   cached_binning, seg_csum, sorted_csum, vis3d_csum):
+                   cached_binning, seg_samp, sorted_samp, vis3d_samp):
         cam = CameraMats(w2v[0], full_proj[0], campos[0])
         cf = class_feat if has_class_feat else None
         cb = (tuple(a[0] for a in cached_binning)
@@ -155,10 +157,10 @@ def build_dp_semantic_step(cfg: RasterizeConfig, mesh: Mesh,
             return single_view_and_3d_losses(
                 params, feat, out, key[0], segmap[0], sorted_segmap[0],
                 seg3d_labels, cf, lam_sv, lam_3d, batch, max_labels,
-                consider_negative, has_csums,
-                seg_csum[0] if has_csums else None,
-                sorted_csum[0] if has_csums else None,
-                vis3d_csum[0] if has_csums else None)
+                consider_negative, has_sampler,
+                seg_samp[0] if has_sampler else None,
+                sorted_samp[0] if has_sampler else None,
+                vis3d_samp[0] if has_sampler else None, tile=cfg.tile)
 
         loss, g = jax.value_and_grad(loss_fn)(params.seg_feature)
         g = jax.lax.pmean(g, "data")

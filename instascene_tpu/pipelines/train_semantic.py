@@ -27,7 +27,7 @@ from ..models import gaussians as gmod
 from ..models.optimizer import adam_step, init_adam_state, semantic_lrs
 from ..ops.rasterize import CameraMats, RasterizeConfig, rasterize
 from ..semantic.contrastive import (contrastive_loss,
-                                    sample_from_csum, sample_valid_pixels)
+                                    sample_from_ids, sample_valid_pixels)
 from ..semantic.spatial_track import ClusteringArgs, GausCluster
 from .train import CameraTensors, camera_tensors
 
@@ -52,13 +52,31 @@ def render_features(params: gmod.GaussianParams, cam: CameraMats, bg,
 def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
                               sorted_segmap, seg3d_labels, cf, lam_sv,
                               lam_3d, batch, max_labels,
-                              consider_negative: bool, has_csums: bool,
-                              seg_csum, sorted_csum, vis3d_csum):
+                              consider_negative: bool, has_sampler: bool,
+                              seg_samp, sorted_samp, vis3d_samp,
+                              tile: int = 16):
     """Single-view ProtoNCE on [raw/filtered, sorted] segmaps + 3D ProtoNCE
     over visible gaussians (reference train_semantic.py:108-141, :175-195).
     `out` is the camera's feature render. Shared by the single-chip step and
-    the per-device body of the DP step."""
-    featmap = out.blend.extra.reshape(-1, seg_feature.shape[1])
+    the per-device body of the DP step.
+
+    Sampled features come straight from the kernels' tile-major output
+    (out.blend.extra_tiles) when available: converting the flat pixel index
+    to (tile, in-tile) coordinates lets XLA dead-code-eliminate the
+    [H,W,E] feature-map transpose AND its gradient un-transpose (~6 ms/step
+    at 976x728x16 on v5e) — only the 32k sampled rows ever materialize."""
+    H, W = segmap.shape
+    ext_tiles = out.blend.extra_tiles
+
+    def fetch(idx):
+        if ext_tiles is None:
+            return out.blend.extra.reshape(-1, seg_feature.shape[1])[idx]
+        grid_x = (W + tile - 1) // tile
+        y, x = idx // W, idx % W
+        t = (y // tile) * grid_x + (x // tile)
+        p2 = (y % tile) * tile + (x % tile)
+        return ext_tiles[t, :, p2]                       # [batch, E]
+
     total = 0.0
     seg_list = ([(segmap, 0)] if cf is None
                 else [(segmap, 0), (sorted_segmap, 1)])
@@ -71,12 +89,12 @@ def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
             # every pixel valid — plain uniform indices
             idx = jax.random.randint(sub, (batch,), 0, labels_flat.shape[0])
             any_valid = jnp.bool_(True)
-        elif has_csums:
-            idx, any_valid = sample_from_csum(
-                sub, seg_csum if mask_type == 0 else sorted_csum, batch)
+        elif has_sampler:
+            idx, any_valid = sample_from_ids(
+                sub, seg_samp if mask_type == 0 else sorted_samp, batch)
         else:
             idx, any_valid = sample_valid_pixels(sub, labels_flat > 0, batch)
-        f = featmap[idx]
+        f = fetch(idx)
         l = labels_flat[idx]
         weight = 1.0 if mask_type == 1 else 0.5
         cl = contrastive_loss(f, l, max_labels,
@@ -84,16 +102,18 @@ def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
                               consider_negative=neg)
         total = total + jnp.where(any_valid, cl, 0.0) * lam_sv * weight
 
-    # 3D over visible gaussians (:175-195)
-    feat_norm = seg_feature / (jnp.linalg.norm(
-        seg_feature, axis=1, keepdims=True) + 1e-6)
+    # 3D over visible gaussians (:175-195). Normalize AFTER the gather —
+    # row-wise normalization commutes with row selection, and normalizing
+    # only the 32k sampled rows instead of all N costs ~5 ms less on v5e
     k, sub = jax.random.split(k)
-    if has_csums:
-        idx, any_valid = sample_from_csum(sub, vis3d_csum, batch)
+    if has_sampler:
+        idx, any_valid = sample_from_ids(sub, vis3d_samp, batch)
     else:
         idx, any_valid = sample_valid_pixels(
             sub, out.visible & (seg3d_labels > 0), batch)
-    cl = contrastive_loss(feat_norm[idx], seg3d_labels[idx], max_labels,
+    f3 = seg_feature[idx]
+    f3 = f3 / (jnp.linalg.norm(f3, axis=1, keepdims=True) + 1e-6)
+    cl = contrastive_loss(f3, seg3d_labels[idx], max_labels,
                           predef_u=cf)
     total = total + jnp.where(any_valid, cl, 0.0) * lam_3d
     return total
@@ -101,7 +121,7 @@ def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
 
 @partial(jax.jit, static_argnames=("cfg", "batch", "max_labels",
                                    "consider_negative", "has_class_feat",
-                                   "do_multiview", "n_mv", "has_csums",
+                                   "do_multiview", "n_mv", "has_sampler",
                                    "mv_tile_count"))
 def semantic_train_step(params, opt_state, key,
                         w2v, full_proj, campos, segmap, sorted_segmap,
@@ -112,8 +132,8 @@ def semantic_train_step(params, opt_state, key,
                         consider_negative: bool, has_class_feat: bool,
                         do_multiview: bool, n_mv: int,
                         cached_binning=None, mv_cached_binning=None,
-                        has_csums: bool = False, seg_csum=None,
-                        sorted_csum=None, vis3d_csum=None,
+                        has_sampler: bool = False, seg_samp=None,
+                        sorted_samp=None, vis3d_samp=None,
                         mv_tile_count: int = 0, mv_sel_tiles=None):
     cam = CameraMats(w2v, full_proj, campos)
     cf = class_feat if has_class_feat else None
@@ -126,7 +146,8 @@ def semantic_train_step(params, opt_state, key,
         total = single_view_and_3d_losses(
             params, seg_feature, out, k_sv, segmap, sorted_segmap,
             seg3d_labels, cf, lam_sv, lam_3d, batch, max_labels,
-            consider_negative, has_csums, seg_csum, sorted_csum, vis3d_csum)
+            consider_negative, has_sampler, seg_samp, sorted_samp,
+            vis3d_samp, tile=cfg.tile)
 
         # multi-view over n_mv consecutive views every 10th iter (:145-172)
         if do_multiview and mv_tile_count > 0:
@@ -331,8 +352,12 @@ class SegSplatting:
             max_count = max(max_count, int(jnp.max(tc)))
             max_pairs = max(max_pairs, int(jnp.sum(tc)))
         k = max(128, (max_count + 127) // 128 * 128)
+        # snug 1.1x cap at 1k granularity: the hot loop's pack gather and
+        # backward chain-reduce run over pair_cap rows every step (measured
+        # 11 ms/step difference between a 1.54x and a 1.05x cap at waldo
+        # scale on v5e); geometry is frozen, so the probed totals are exact
         pair_cap = max(128 * 1024,
-                       1 << int(np.ceil(np.log2(max(max_pairs, 1) * 1.3))))
+                       (int(max_pairs * 1.1) + 1023) // 1024 * 1024)
         impl = getattr(self.pipe, "rasterizer_impl", "auto")
         cache = []
         for ct, cam in zip(self.cams, self.cam_objs):
@@ -352,9 +377,10 @@ class SegSplatting:
         return cache
 
     def _precompute_sampling(self):
-        """Per-camera validity prefix sums for the pixel/point samplers —
-        segmap labels and frozen-geometry visibility are constants, so the
-        hot loop pays randint + searchsorted only."""
+        """Per-camera valid-index sampler packs (contrastive.valid_ids_pack)
+        — segmap labels and frozen-geometry visibility are constants, so the
+        hot loop pays one randint + one gather per sampler (the previous
+        csum + searchsorted formulation cost ~7 ms per 32k draw on v5e)."""
         from functools import partial as _partial
 
         from ..ops.preprocess import preprocess_gaussians
@@ -367,24 +393,26 @@ class SegSplatting:
                                        color=xyz * 0.0, alive=alive)
             return pre.valid & (pre.radius > 0)
 
+        from ..semantic.contrastive import valid_ids_pack
+
         lab3d_ok = self.seg3d_labels_padded > 0
         seg_cs, sorted_cs, vis_cs = [], [], []
         for ct, cam in zip(self.cams, self.cam_objs):
             seg = (jnp.asarray(cam.segmap).reshape(-1) > 0
                    if cam.segmap is not None
                    else jnp.zeros(int(cam.width) * int(cam.height), bool))
-            seg_cs.append(jnp.cumsum(seg.astype(jnp.int32)))
+            seg_cs.append(valid_ids_pack(seg))
             srt = (jnp.asarray(cam.sorted_segmap).reshape(-1) > 0
                    if cam.sorted_segmap is not None
                    else jnp.zeros(int(cam.width) * int(cam.height), bool))
-            sorted_cs.append(jnp.cumsum(srt.astype(jnp.int32)))
+            sorted_cs.append(valid_ids_pack(srt))
             vis = _vis(self.params.xyz, self.params.scaling_activated(),
                        self.params.rotation_normalized(), self.params.alive,
                        ct.w2v, ct.full_proj, ct.campos,
                        int(cam.width), int(cam.height))
-            vis_cs.append(jnp.cumsum((vis & lab3d_ok).astype(jnp.int32)))
-        self.sampling_csums = (seg_cs, sorted_cs, vis_cs)
-        return self.sampling_csums
+            vis_cs.append(valid_ids_pack(vis & lab3d_ok))
+        self.sampling_packs = (seg_cs, sorted_cs, vis_cs)
+        return self.sampling_packs
 
     def _max_labels(self) -> int:
         # memoized: the label space is fixed once the (re)loaded segmaps and
@@ -422,7 +450,7 @@ class SegSplatting:
         cfg = RasterizeConfig(
             width=width, height=height, bwd_extras_only=True,
             impl=getattr(self.pipe, "rasterizer_impl", "auto"))
-        seg_cs, sorted_cs, vis_cs = self.sampling_csums
+        seg_cs, sorted_cs, vis_cs = self.sampling_packs
         has_cf = self.class_feat is not None
         cf = (jnp.asarray(np.pad(self.class_feat,
                                  ((0, max(0, max_labels
@@ -434,7 +462,7 @@ class SegSplatting:
             max_labels=max_labels, lam_sv=opt.lambda_singview_contras,
             lam_3d=opt.lambda_3D_contras,
             consider_negative=bool(opt.consider_negative_labels),
-            has_class_feat=has_cf, has_csums=True, has_cached_binning=True,
+            has_class_feat=has_cf, has_sampler=True, has_cached_binning=True,
             cb_len=len(self.binning_cache[0]))
         lr = jnp.float32(semantic_lrs(opt)["seg_feature"])
         zeros_map = jnp.zeros((height, width), jnp.int32)
@@ -493,12 +521,12 @@ class SegSplatting:
         max_labels = self._max_labels()
         if not hasattr(self, "binning_cache"):
             self._precompute_binning()
-        if not hasattr(self, "sampling_csums"):
+        if not hasattr(self, "sampling_packs"):
             self._precompute_sampling()
         if self.dp:
             return self._train_segfeat_dp(iterations, opt_state, max_labels,
                                           progress, save_every)
-        seg_cs, sorted_cs, vis_cs = self.sampling_csums
+        seg_cs, sorted_cs, vis_cs = self.sampling_packs
         # tiny scenes: shrink the MV window to the camera count instead of
         # crashing (reference train_semantic.py:148 raises on
         # len(cams) <= sample_mv_frames; window range matches it otherwise)
@@ -585,8 +613,8 @@ class SegSplatting:
                 lam_sv, lam_mv, lam_3d, cfg, int(opt.sample_batchsize),
                 max_labels, bool(opt.consider_negative_labels), has_cf,
                 do_mv, n_mv, cached_binning=cb, mv_cached_binning=mv_cb,
-                has_csums=True, seg_csum=seg_cs[ci],
-                sorted_csum=sorted_cs[ci], vis3d_csum=vis_cs[ci],
+                has_sampler=True, seg_samp=seg_cs[ci],
+                sorted_samp=sorted_cs[ci], vis3d_samp=vis_cs[ci],
                 mv_tile_count=mv_k if do_mv else 0, mv_sel_tiles=mv_sel)
             if do_mv and mv_k:
                 # no silent caps: deepest-chunk truncation in the MV
