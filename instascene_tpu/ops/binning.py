@@ -264,11 +264,34 @@ class BinningOut(NamedTuple):
     visits: Optional["VisitLayout"] = None
 
 
+def dilate_rects(rect_min: jnp.ndarray, rect_max: jnp.ndarray,
+                 tiles_touched: jnp.ndarray, grid_x: int, grid_y: int,
+                 dilate_tiles: int):
+    """Expand visible gaussians' tile rects by `dilate_tiles` per side,
+    clamped to the grid; recount tiles_touched. Invisible gaussians
+    (tiles_touched == 0) stay empty — dilation must not resurrect culled
+    splats."""
+    vis = tiles_touched > 0
+    d = jnp.int32(dilate_tiles)
+    gmax = jnp.array([grid_x, grid_y], jnp.int32)
+    rmin = jnp.where(vis[:, None], jnp.maximum(rect_min - d, 0), rect_min)
+    rmax = jnp.where(vis[:, None], jnp.minimum(rect_max + d, gmax), rect_max)
+    tiles = (rmax[:, 0] - rmin[:, 0]) * (rmax[:, 1] - rmin[:, 1])
+    touched = jnp.where(vis, tiles, 0).astype(jnp.int32)
+    return rmin, rmax, touched
+
+
 def bin_gaussians(pre: PreprocessOut, width: int, height: int,
                   pair_cap: int, tile_cap: int, tile: int = 16,
-                  layout: str = "padded", align: int = ALIGN) -> BinningOut:
+                  layout: str = "padded", align: int = ALIGN,
+                  dilate_tiles: int = 0) -> BinningOut:
     """layout: 'padded' | 'aligned' | 'visits' | 'both'; `align` is the
-    aligned-layout chunk size (must equal the Pallas kernels' chunk)."""
+    aligned-layout chunk size (must equal the Pallas kernels' chunk).
+
+    dilate_tiles > 0 expands every visible gaussian's tile rect by that many
+    tiles per side (clamped to the grid) — the frame-coherent viewer cache
+    builds a binning valid for any nearby camera whose fresh rects stay
+    inside the dilated ones (render.CoherentViewerBinning)."""
     n = pre.depth.shape[0]
     grid_x = (width + tile - 1) // tile
     grid_y = (height + tile - 1) // tile
@@ -278,6 +301,9 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     depth = jax.lax.stop_gradient(pre.depth)
     rect_min = pre.rect_min
     rect_max = pre.rect_max
+    if dilate_tiles:
+        rect_min, rect_max, tiles_touched = dilate_rects(
+            rect_min, rect_max, tiles_touched, grid_x, grid_y, dilate_tiles)
 
     # exclusive prefix sum → start offset per gaussian (rasterizer_impl.cu:283)
     csum = jnp.cumsum(tiles_touched)

@@ -48,7 +48,8 @@ _EXT = 21
 CHUNK = 128  # gaussians per grid step (sublane-friendly, lane-aligned DMA)
 
 
-def pack_flat_cols(T_used, xy, normal_view, opacities, color, extras=None):
+def pack_flat_cols(T_used, xy, normal_view, opacities, color, extras=None,
+                   rect=None):
     """Per-gaussian packed attribute columns for the Pallas kernels, with a
     trailing sentinel zero row. Returns [N+1, D], D = 21 + E.
 
@@ -72,6 +73,17 @@ def pack_flat_cols(T_used, xy, normal_view, opacities, color, extras=None):
             jnp.reshape(opacities, (n, 1)), color]
     if extras is not None:
         cols.append(extras)
+    if rect is not None:
+        # clip_rect mode (frame-coherent cached binning): the per-gaussian
+        # tile rect as 4 trailing f32 columns (rmin_x, rmax_x, rmin_y,
+        # rmax_y — exact ints < 2^24); the kernels gate contributions by
+        # tile ∈ rect so a cached SUPERSET pair list reproduces the fresh
+        # binning's rect clipping exactly. The sentinel row's zero rect
+        # (rmax == 0) gates it everywhere.
+        rmin, rmax = rect
+        cols.append(jax.lax.stop_gradient(jnp.stack(
+            [rmin[:, 0], rmax[:, 0], rmin[:, 1], rmax[:, 1]],
+            axis=1).astype(jnp.float32)))
     flat = jnp.concatenate(cols, axis=1)
     return jnp.concatenate([flat, jnp.zeros((1, flat.shape[1]), flat.dtype)],
                            axis=0)

@@ -40,7 +40,7 @@ from .preprocess import FAR_N, FILTER_INV_SQUARE, NEAR_N
 def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
                        packed_ref, *refs, tile, grid_x, num_tiles,
                        n_extra, chunk=CHUNK, extras_only=False, viewer=False,
-                       track=False):
+                       track=False, clip_rect=False):
     if track:
         # track mode: full body + the w>0.1 contributor buffer (the CUDA
         # gau_related_pixels analogue, forward.cu:422-428, deterministic
@@ -104,6 +104,12 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         # within-tile slot number (0-based): global sorted slot - tile_start
         slot = vc_ref[i] * chunk + iota - vts_ref[i]
         m = g["m"] & in_rng
+        if clip_rect:
+            # cached-superset mode: gate by the per-gaussian FRESH tile rect
+            # (4 trailing packed cols) so extra dilated pairs reproduce the
+            # fresh binning's rect clipping exactly (pack_flat_cols rect=)
+            m = m & ((bt[:, -4:-3] <= tx) & (tx < bt[:, -3:-2])
+                     & (bt[:, -2:-1] <= ty) & (ty < bt[:, -1:]))
         alpha = g["alpha"]
         depth_ray = g["depth_ray"]
 
@@ -252,7 +258,8 @@ def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
                             tile: int, grid_x: int, n_extra: int,
                             interpret: bool = False, chunk: int = CHUNK,
                             extras_only: bool = False,
-                            viewer: bool = False, track: bool = False):
+                            viewer: bool = False, track: bool = False,
+                            clip_rect: bool = False):
     """packed [P, D] slot-major (P = pair_cap, % chunk == 0). With track,
     packed's last column must be the gaussian id (f32) and the return gains
     (contrib_ids [T,K,P2] int32, contrib_w [T,K,P2] f32)."""
@@ -292,10 +299,12 @@ def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
+    assert not (track and clip_rect), "track packs gid as the last column"
     kernel = functools.partial(_fwd_kernel_visits, tile=tile, grid_x=grid_x,
                                num_tiles=num_tiles, n_extra=n_extra,
                                chunk=chunk, extras_only=extras_only,
-                               viewer=viewer, track=track)
+                               viewer=viewer, track=track,
+                               clip_rect=clip_rect)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -312,7 +321,8 @@ def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
 def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
                        packed_ref, gout_ref, sv_ref, iout_ref, dout_ref,
                        Tst, Ss, *, tile, grid_x, num_tiles, n_extra,
-                       n_visits, chunk=CHUNK, extras_only=False):
+                       n_visits, chunk=CHUNK, extras_only=False,
+                       clip_rect=False):
     i = pl.program_id(0)
     j = n_visits - 1 - i
     E = n_extra
@@ -370,6 +380,9 @@ def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         a_fin = 1.0 - T_fin
 
         cmask = g["m"] & in_rng & (gslot <= n_contrib)
+        if clip_rect:
+            cmask = cmask & ((bt[:, -4:-3] <= tx) & (tx < bt[:, -3:-2])
+                             & (bt[:, -2:-1] <= ty) & (ty < bt[:, -1:]))
         ac = jnp.where(cmask, alpha, 0.0)
         oc = 1.0 - ac
         P_in = _cumprod_incl(oc)
@@ -447,13 +460,17 @@ def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
             return jnp.sum(x, axis=1, keepdims=True)
 
         dsel = jnp.dot(w, gsel.T, preferred_element_type=jnp.float32)
-        rows = jnp.concatenate(
+        row_cols = (
             [rsum(pxf * dLdpx), rsum(pxf * dLdpy), rsum(pxf * dLdpz),
              rsum(pyf * dLdpx), rsum(pyf * dLdpy), rsum(pyf * dLdpz),
              rsum(dLdpx), rsum(dLdpy), rsum(dLdpz),
              rsum(dd3 * sx), rsum(dd3 * sy), rsum(dd3 + dd2),
              rsum(dxy_x), rsum(dxy_y),
-             dsel[:, 0:3], rsum(dopa), dsel[:, 4:7 + E]], axis=1)
+             dsel[:, 0:3], rsum(dopa), dsel[:, 4:7 + E]])
+        if clip_rect:
+            # the 4 trailing rect columns are non-differentiable ints
+            row_cols.append(jnp.zeros((C, 4), jnp.float32))
+        rows = jnp.concatenate(row_cols, axis=1)
         dout_ref[...] = jnp.where(rowmask, rows, base)
 
         Tst[0:1] = T_entry
@@ -465,7 +482,8 @@ def blend_bwd_pallas_visits(packed, gout, saved, iout, visit_tile,
                             num_tiles: int, tile: int, grid_x: int,
                             n_extra: int, interpret: bool = False,
                             extras_only: bool = False,
-                            chunk: int = CHUNK) -> jnp.ndarray:
+                            chunk: int = CHUNK,
+                            clip_rect: bool = False) -> jnp.ndarray:
     """packed [P, D] slot-major; returns d(packed) [P, rows]."""
     P, D = packed.shape
     V = visit_tile.shape[0]
@@ -497,7 +515,7 @@ def blend_bwd_pallas_visits(packed, gout, saved, iout, visit_tile,
     kernel = functools.partial(_bwd_kernel_visits, tile=tile, grid_x=grid_x,
                                num_tiles=num_tiles, n_extra=n_extra,
                                n_visits=V, chunk=chunk,
-                               extras_only=extras_only)
+                               extras_only=extras_only, clip_rect=clip_rect)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -510,38 +528,42 @@ def blend_bwd_pallas_visits(packed, gout, saved, iout, visit_tile,
 # ---------------------------------------------------------------- custom VJP
 
 def _visits_fwd_impl(flat, bundle, num_tiles, tile, grid_x, n_extra,
-                     interpret, chunk=CHUNK, extras_only=False, viewer=False):
+                     interpret, chunk=CHUNK, extras_only=False, viewer=False,
+                     clip_rect=False):
     sorted_gid, vc, vt, vs0, vs1, vts = bundle[:6]
     packed = flat[sorted_gid]                 # [P, D] slot-major
     f = blend_fwd_pallas_visits(packed, vt, vc, vs0, vs1, vts, num_tiles,
                                 tile, grid_x, n_extra, interpret,
                                 chunk=chunk, extras_only=extras_only,
-                                viewer=viewer)
+                                viewer=viewer, clip_rect=clip_rect)
     return f.out, f.iout, packed
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def blend_visits_diff(flat, binning_bundle, num_tiles, tile, grid_x,
-                      n_extra, interpret, extras_only=False, chunk=CHUNK):
+                      n_extra, interpret, extras_only=False, chunk=CHUNK,
+                      clip_rect=False):
     """Differentiable visit-layout Pallas blend.
 
     flat [N+1, D] per-gaussian packed attrs (sentinel zero row last);
     binning_bundle = (sorted_gid, visit_chunk, visit_tile, visit_s0,
     visit_s1, visit_tstart[, gid_order, gauss_offsets, gauss_csum]) — index
-    data, non-differentiable. Returns (out [T,OC,P2], iout [T,2,P2])."""
+    data, non-differentiable. clip_rect: flat carries 4 trailing tile-rect
+    columns and contributions are gated by tile ∈ rect (cached-superset
+    mode, pack_flat_cols rect=). Returns (out [T,OC,P2], iout [T,2,P2])."""
     out, iout, _ = _visits_fwd_impl(flat, binning_bundle, num_tiles, tile,
                                     grid_x, n_extra, interpret, chunk,
-                                    extras_only)
+                                    extras_only, clip_rect=clip_rect)
     return out, iout
 
 
 def blend_visits_viewer(flat, binning_bundle, num_tiles, tile, grid_x,
-                        n_extra, interpret, chunk=CHUNK):
+                        n_extra, interpret, chunk=CHUNK, clip_rect=False):
     """Forward-only viewer blend over the visit layout (color + alpha
     [+ features]); not differentiable."""
     out, iout, _ = _visits_fwd_impl(
         jax.lax.stop_gradient(flat), binning_bundle, num_tiles, tile, grid_x,
-        n_extra, interpret, chunk, viewer=True)
+        n_extra, interpret, chunk, viewer=True, clip_rect=clip_rect)
     return out, iout
 
 
@@ -565,17 +587,18 @@ def blend_visits_track(flat, binning_bundle, num_tiles, tile, grid_x,
 
 
 def _blend_visits_diff_fwd(flat, bundle, num_tiles, tile, grid_x, n_extra,
-                           interpret, extras_only=False, chunk=CHUNK):
+                           interpret, extras_only=False, chunk=CHUNK,
+                           clip_rect=False):
     out, iout, packed = _visits_fwd_impl(flat, bundle, num_tiles, tile,
                                          grid_x, n_extra, interpret, chunk,
-                                         extras_only)
+                                         extras_only, clip_rect=clip_rect)
     E = n_extra
     saved = jnp.concatenate([out[:, 9:10], out[:, 10 + E:12 + E]], axis=1)
     return (out, iout), (packed, bundle, saved, iout, flat.shape[0])
 
 
 def _blend_visits_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
-                           extras_only, chunk, res, cts):
+                           extras_only, chunk, clip_rect, res, cts):
     packed, bundle, saved, iout, n1 = res
     gout, _ = cts
     sorted_gid, vc, vt, vs0, vs1, vts = bundle[:6]
@@ -584,7 +607,8 @@ def _blend_visits_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
     d_sorted = blend_bwd_pallas_visits(packed, gout, saved, iout, vt, vc,
                                        vs0, vs1, vts, num_tiles, tile,
                                        grid_x, n_extra, interpret,
-                                       extras_only=extras_only, chunk=chunk)
+                                       extras_only=extras_only, chunk=chunk,
+                                       clip_rect=clip_rect)
     cols = d_sorted.shape[1]
     if gid_order is not None:
         # cached-binning path: gather+cumsum+segment-diff chain (indices
@@ -609,6 +633,11 @@ def _blend_visits_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
     if extras_only:
         d_flat = jnp.concatenate(
             [jnp.zeros((n1, _EXT), d_flat.dtype), d_flat], axis=1)
+    if extras_only and clip_rect:
+        # match flat's 4 trailing (non-differentiable) rect columns; the
+        # full-mode kernel already emits their zero columns
+        d_flat = jnp.concatenate([d_flat, jnp.zeros((n1, 4), d_flat.dtype)],
+                                 axis=1)
     return d_flat, None
 
 

@@ -56,6 +56,11 @@ class RasterizeConfig:
     # color + alpha [+ feature] maps; depth/normal/median/distortion outputs
     # are ZERO and gradients do not flow. ~40% less kernel work per frame.
     fwd_viewer: bool = False
+    # cached-superset mode (frame-coherent viewer binning): pack the FRESH
+    # per-gaussian tile rect into the attribute rows and gate contributions
+    # by tile ∈ rect in-kernel, so a cached (dilated) pair list reproduces
+    # fresh binning's rect clipping exactly. Pallas visit kernels only.
+    clip_rect: bool = False
 
     def resolved(self, n: int) -> "RasterizeConfig":
         # auto caps are deliberately tight — the sort is O(pair_cap); callers
@@ -78,7 +83,7 @@ class RasterizeConfig:
         return RasterizeConfig(self.width, self.height, self.tile, chunk,
                                pair_cap, tile_cap, self.track_contrib, impl,
                                self.bwd_extras_only, self.pallas_chunk,
-                               self.fwd_viewer)
+                               self.fwd_viewer, self.clip_rect)
 
 
 def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
@@ -97,13 +102,24 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
     grid_x = (width + cfg.tile - 1) // cfg.tile
     grid_y = (height + cfg.tile - 1) // cfg.tile
     num_tiles = grid_x * grid_y
+    rect = None
+    if cfg.clip_rect:
+        # cached-superset mode: gate pairs by the FRESH rect in-kernel; a
+        # gaussian producing no pairs this frame gets an empty rect so its
+        # stale cached pairs contribute exactly zero
+        has_pairs = pre.tiles_touched > 0
+        rect = (pre.rect_min,
+                jnp.where(has_pairs[:, None], pre.rect_max, pre.rect_min))
     flat = pack_flat_cols(T_used, pre.xy, pre.normal_view, opacities,
-                          pre.color, extras)
+                          pre.color, extras, rect=rect)
     interp = jax.default_backend() == "cpu"  # tests exercise interpret mode
     if visits_bundle is None and binning.visits is not None:
         v = binning.visits
         visits_bundle = (binning.sorted_gid, v.visit_chunk, v.visit_tile,
                          v.visit_s0, v.visit_s1, v.visit_tstart)
+    if cfg.clip_rect:
+        assert visits_bundle is not None and not cfg.track_contrib, \
+            "clip_rect serves cached visit bundles (non-track) only"
     if visits_bundle is not None:
         if cfg.track_contrib:
             from .blend_visits import blend_visits_track
@@ -126,12 +142,14 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
         if cfg.fwd_viewer:
             out, iout = blend_visits_viewer(flat, tuple(visits_bundle),
                                             num_tiles, cfg.tile, grid_x, E,
-                                            interp, cfg.pallas_chunk)
+                                            interp, cfg.pallas_chunk,
+                                            clip_rect=cfg.clip_rect)
         else:
             out, iout = blend_visits_diff(flat, tuple(visits_bundle),
                                           num_tiles, cfg.tile, grid_x, E,
                                           interp, cfg.bwd_extras_only,
-                                          cfg.pallas_chunk)
+                                          cfg.pallas_chunk,
+                                          clip_rect=cfg.clip_rect)
     elif cfg.fwd_viewer:
         out, iout = blend_aligned_viewer(flat, tuple(binning.aligned),
                                          num_tiles, cfg.tile, grid_x, E,
@@ -306,15 +324,16 @@ def densify_screen_grad(t_grad: jnp.ndarray, depth: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "pair_cap",
-                                   "tile_cap", "layout", "align"))
+                                   "tile_cap", "layout", "align",
+                                   "dilate_tiles"))
 def _binning_cache_impl(xyz, scales, rotations, alive, w2v, full_proj, campos,
                         width, height, tile, pair_cap, tile_cap, layout,
-                        align=128):
+                        align=128, dilate_tiles=0):
     pre = preprocess_gaussians(xyz, scales, rotations, w2v, full_proj, campos,
                                width, height, color=xyz * 0.0, tile=tile,
                                alive=alive)
     b = bin_gaussians(pre, width, height, pair_cap, tile_cap, tile=tile,
-                      layout=layout, align=align)
+                      layout=layout, align=align, dilate_tiles=dilate_tiles)
     if layout == "visits":
         # visit-layout cache (compact-sorted; the pallas default): index data
         # + chain-reduction indices (the cached-binning backward's gather +
@@ -342,10 +361,11 @@ def _binning_cache_impl(xyz, scales, rotations, alive, w2v, full_proj, campos,
 def compute_binning_cache(params, cam: CameraMats, width: int, height: int,
                           tile: int = 16, pair_cap: int = 0,
                           tile_cap: int = 0, impl: str = "auto",
-                          pallas_chunk: int = 128):
+                          pallas_chunk: int = 128, dilate_tiles: int = 0):
     """Precompute the frozen-geometry binning for one camera. Returns
     (cache_tuple, tile_count, n_dropped); pass cache_tuple as
-    rasterize(..., cached_binning=...)."""
+    rasterize(..., cached_binning=...). dilate_tiles expands every rect for
+    the frame-coherent viewer cache (render.CoherentViewerBinning)."""
     n = params.capacity
     cfg = RasterizeConfig(width=width, height=height, tile=tile,
                           pair_cap=pair_cap, tile_cap=tile_cap,
@@ -355,4 +375,4 @@ def compute_binning_cache(params, cam: CameraMats, width: int, height: int,
         params.xyz, params.scaling_activated(), params.rotation_normalized(),
         params.alive, cam.w2v, cam.full_proj, cam.campos,
         cfg.width, cfg.height, cfg.tile, cfg.pair_cap, cfg.tile_cap, layout,
-        align=cfg.pallas_chunk)
+        align=cfg.pallas_chunk, dilate_tiles=dilate_tiles)

@@ -60,12 +60,135 @@ def reset_render_state() -> None:
     _PENDING_DROP.clear()
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("width", "height", "tile"))
+def _coherent_rects(xyz, scales, rotations, alive, w2v, full_proj, campos,
+                    width, height, tile):
+    from .ops.preprocess import preprocess_gaussians
+    pre = preprocess_gaussians(xyz, scales, rotations, w2v, full_proj, campos,
+                               width, height, color=xyz * 0.0, tile=tile,
+                               alive=alive)
+    return pre.rect_min, pre.rect_max, pre.tiles_touched > 0
+
+
+@_partial(jax.jit, static_argnames=("width", "height", "tile"))
+def _coherent_ok(xyz, scales, rotations, alive, w2v, full_proj, campos,
+                 dil_min, dil_max, need0, width, height, tile):
+    """True iff every gaussian that produces pairs at THIS camera also
+    produced pairs at the cache camera and its fresh tile rect lies inside
+    the cached dilated rect — the exact superset condition under which the
+    cached pair list covers this frame."""
+    rmin, rmax, need = _coherent_rects(xyz, scales, rotations, alive, w2v,
+                                       full_proj, campos, width, height, tile)
+    covered = (need0 & jnp.all(rmin >= dil_min, axis=-1)
+               & jnp.all(rmax <= dil_max, axis=-1))
+    return jnp.all(~need | covered)
+
+
+class CoherentViewerBinning:
+    """Frame-coherent binning cache for an interactive (orbiting) camera.
+
+    An orbit/pan camera moves a few pixels per frame, but the render path
+    rebuilds the (gaussian, tile) binning from scratch every frame (~17 ms of
+    a ~50 ms 1080p viewer frame on v5e). This cache builds the binning ONCE
+    with every tile rect dilated by `dilate_tiles` per side and reuses it
+    while an exact per-frame guard holds: each frame's fresh rects (from the
+    cheap elementwise preprocess) must be contained in the cached dilated
+    rects. Rendering from the cache runs the kernels in clip_rect mode: the
+    FRESH rect rides 4 packed attribute columns and contributions are gated
+    by tile ∈ rect in-kernel, so every extra cached pair (dilation overhang,
+    or a gaussian that stopped producing pairs) contributes exactly zero —
+    the contribution SET equals fresh binning's. Residual deviations: f32
+    addition grouping (gated zero pairs shift the blend scans' chunk
+    boundaries — last-bit), and within-tile pair order is the cache camera's
+    depth order, so near-coincident splats that swap depth rank under the
+    motion blend in the stale order until the next rebuild (same class as
+    the sort's quantized-depth ties).
+
+    Scope: pallas impl, scaling_modifier == 1.0 (the cache builds rects at
+    unit scaling). The caller passes the instance to render(coherent=...);
+    geometry/opacity edits are detected by array identity, so a densify or
+    crop rebuilds automatically. Reference: the CUDA rasterizer re-bins every
+    frame (rasterizer_impl.cu:217-260); this is a TPU-side addition for the
+    GUI loop (VERDICT round-2 item 2)."""
+
+    def __init__(self, dilate_tiles: int = 2, max_frames: int = 0):
+        self.dilate_tiles = int(dilate_tiles)
+        self.max_frames = int(max_frames)  # 0 → rely on the exact guard only
+        self.n_builds = 0       # test/diagnostic: how many rebuilds happened
+        self.n_reuses = 0
+        self._cache = None
+        self._pair_cap = 0      # sticky across rebuilds
+
+    def invalidate(self) -> None:
+        self._cache = None
+
+    def get(self, p, cam: CameraMats, width: int, height: int, tile: int,
+            impl: str, pallas_chunk: int):
+        """Return a cached visit bundle valid for `cam`, rebuilding if the
+        camera left the dilation envelope, the gaussian set changed, or the
+        frame budget ran out."""
+        from .ops.binning import dilate_rects
+        from .ops.rasterize import RasterizeConfig as _RC
+        from .ops.rasterize import compute_binning_cache
+
+        xyz = p.xyz
+        scales = p.scaling_activated()
+        rots = p.rotation_normalized()
+        alive = getattr(p, "alive", None)
+        ident = (id(p.xyz), id(p.scaling), id(p.rotation),
+                 None if alive is None else id(alive), width, height, tile)
+        c = self._cache
+        if c is not None and c["ident"] == ident:
+            if self.max_frames and c["frames"] >= self.max_frames:
+                c = None
+            elif bool(_coherent_ok(xyz, scales, rots, alive, cam.w2v,
+                                   cam.full_proj, cam.campos, c["dil_min"],
+                                   c["dil_max"], c["need0"], width, height,
+                                   tile)):
+                c["frames"] += 1
+                self.n_reuses += 1
+                return c["bundle"]
+            else:
+                c = None
+        # (re)build at this camera with dilated rects; grow the sticky cap
+        # until drop-free (build-time host loop — rebuilds are rare)
+        n = p.capacity
+        pair_cap = self._pair_cap
+        for _ in range(8):
+            bundle, _, nd = compute_binning_cache(
+                p, cam, width, height, tile=tile, pair_cap=pair_cap,
+                impl=impl, pallas_chunk=pallas_chunk,
+                dilate_tiles=self.dilate_tiles)
+            resolved = _RC(width=width, height=height, tile=tile,
+                           pair_cap=pair_cap, impl=impl,
+                           pallas_chunk=pallas_chunk).resolved(n)
+            if int(nd) == 0:
+                break
+            pair_cap = 2 * resolved.pair_cap
+        self._pair_cap = resolved.pair_cap
+        grid_x = (width + tile - 1) // tile
+        grid_y = (height + tile - 1) // tile
+        rmin, rmax, need0 = _coherent_rects(
+            xyz, scales, rots, alive, cam.w2v, cam.full_proj, cam.campos,
+            width, height, tile)
+        dmin, dmax, _ = dilate_rects(rmin, rmax, need0.astype(jnp.int32),
+                                     grid_x, grid_y, self.dilate_tiles)
+        self._cache = {"ident": ident, "bundle": bundle, "dil_min": dmin,
+                       "dil_max": dmax, "need0": need0, "frames": 1}
+        self.n_builds += 1
+        return bundle
+
+
 def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
            scaling_modifier: float = 1.0, override_color=None,
            norm_seg_feat: bool = True, track_contrib: bool = False,
            t_offset=None, cfg: Optional[RasterizeConfig] = None,
            grow_on_drop: bool = True, drop_check: str = "sync",
-           viewer: bool = False) -> dict:
+           viewer: bool = False,
+           coherent: Optional["CoherentViewerBinning"] = None) -> dict:
     """Render a view of `gaussians` (a GaussianParams pytree or GaussianModel).
 
     Returns dict with reference keys: render, radii, visibility_filter,
@@ -100,6 +223,8 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
                               chunk=cfg.chunk, pair_cap=cfg.pair_cap,
                               tile_cap=cfg.tile_cap,
                               track_contrib=track_contrib or cfg.track_contrib,
+                              impl=cfg.impl, pallas_chunk=cfg.pallas_chunk,
+                              bwd_extras_only=cfg.bwd_extras_only,
                               fwd_viewer=viewer or cfg.fwd_viewer)
     # auto caps are a heuristic; at high resolutions the true pair count can
     # exceed them (the CUDA reference allocates the exact total dynamically).
@@ -140,7 +265,31 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
     else:
         colors = override_color
 
+    coherent_cb = None
+    if (coherent is not None and scaling_modifier == 1.0
+            and not track_contrib and cfg.resolved(n).impl == "pallas"):
+        # frame-coherent binning: reuse the dilated pair list while the
+        # camera stays inside the dilation envelope (see
+        # CoherentViewerBinning). clip_rect gates contributions by the FRESH
+        # rect in-kernel so the superset list reproduces fresh binning's
+        # clipping exactly; a cached bundle never drops pairs, so the
+        # grow-on-drop loop is skipped
+        import dataclasses
+        r = cfg.resolved(n)
+        coherent_cb = coherent.get(p, cam, width, height, r.tile, r.impl,
+                                   r.pallas_chunk)
+        out = rasterize(p.xyz, p.scaling_activated(),
+                        p.rotation_normalized(),
+                        p.opacity_activated()[:, 0],
+                        cam, bg, dataclasses.replace(cfg, clip_rect=True),
+                        colors=colors, shs=shs,
+                        sh_degree=sh_degree, extras=seg_feature,
+                        t_offset=t_offset, alive=getattr(p, "alive", None),
+                        cached_binning=coherent_cb)
+
     for attempt in range(4):
+        if coherent_cb is not None:
+            break
         out = rasterize(p.xyz, p.scaling_activated() * scaling_modifier,
                         p.rotation_normalized(),
                         p.opacity_activated()[:, 0],

@@ -81,6 +81,7 @@ class SegmentationEngine:
     dbscan_min_points: int = 10
 
     def __post_init__(self):
+        from ..render import CoherentViewerBinning
         self.proj_mat = pca_proj_matrix(np.asarray(self.params.seg_feature))
         self.chosen_features: List[np.ndarray] = []
         self.prompt_colors: List[np.ndarray] = []   # per-click overlay colors
@@ -89,6 +90,10 @@ class SegmentationEngine:
         self._params_version = 0
         self._initial_params = self.params   # for reload_data
         self._color_rng = np.random.default_rng(0)
+        # orbit/pan cameras move a few pixels per frame: reuse the dilated
+        # binning while the camera stays inside the envelope (exact guard;
+        # rebuilds automatically on segment/delete/reload via array identity)
+        self._coherent = CoherentViewerBinning(dilate_tiles=2)
 
     def reload(self) -> None:
         """Restore the model loaded at startup (reference reload_flag,
@@ -125,7 +130,8 @@ class SegmentationEngine:
             return self._frame
         from ..render import render
         pkg = render(cam, self.params, self.pipe, self.bg_color,
-                     drop_check="async", viewer=not need_aux)
+                     drop_check="async", viewer=not need_aux,
+                     coherent=self._coherent)
         rgb = np.asarray(pkg["render"])
         feat = np.asarray(pkg["seg_feature"])
         feat = feat / (np.linalg.norm(feat, axis=-1, keepdims=True) + 1e-6)
