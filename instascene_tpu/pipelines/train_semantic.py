@@ -215,14 +215,36 @@ def semantic_train_step(params, opt_state, key,
                 mcam = CameraMats(mv_w2v[i], mv_full_proj[i], mv_campos[i])
                 cb = (None if mv_cached_binning is None else
                       tuple(a[i] for a in mv_cached_binning))
-                o = render_features(params, mcam, bg, cfg, seg_feature, cb)
-                return o.blend.extra
-            feats_mv = jnp.stack([render_one(i) for i in range(n_mv)])
+                return render_features(params, mcam, bg, cfg, seg_feature,
+                                       cb).blend
+            blends = [render_one(i) for i in range(n_mv)]
             labels_mv = mv_sorted_segmaps.reshape(-1)
-            feats_mv = feats_mv.reshape(-1, seg_feature.shape[1])
             k, sub = jax.random.split(k)
             idx, any_valid = sample_valid_pixels(sub, labels_mv > 0, batch)
-            cl = contrastive_loss(feats_mv[idx], labels_mv[idx], max_labels,
+            HW = cfg.height * cfg.width
+            view_of = idx // HW
+            pix = idx % HW
+            if blends[0].extra_tiles is not None:
+                # fetch the sampled features straight from the kernels'
+                # tile-major output (same trick as the single-view loss):
+                # the five [H,W,E] map transposes and their gradient
+                # un-transposes dead-code-eliminate (~6 ms each at
+                # 976x728x16 on v5e)
+                grid_x = (cfg.width + cfg.tile - 1) // cfg.tile
+                y, x = pix // cfg.width, pix % cfg.width
+                t = (y // cfg.tile) * grid_x + (x // cfg.tile)
+                p2 = (y % cfg.tile) * cfg.tile + (x % cfg.tile)
+                # per-view masked gathers (batch-sized) instead of stacking
+                # the five tile-major buffers into one [V,T,E,P2] copy
+                f_mv = 0.0
+                for v, b in enumerate(blends):
+                    fv = b.extra_tiles[t, :, p2]                  # [batch, E]
+                    f_mv = f_mv + jnp.where((view_of == v)[:, None], fv, 0.0)
+            else:
+                feats_mv = jnp.stack([b.extra for b in blends]
+                                     ).reshape(-1, seg_feature.shape[1])
+                f_mv = feats_mv[idx]
+            cl = contrastive_loss(f_mv, labels_mv[idx], max_labels,
                                   predef_u=cf)
             total = total + jnp.where(any_valid, cl, 0.0) * lam_mv
         return total, mv_trunc
