@@ -289,3 +289,42 @@ def test_render_state_bounded(rng):
     assert len(render_mod._PAIR_CAP_HIWATER) <= render_mod._STATE_CAP
     render_mod.reset_render_state()
     assert not render_mod._PAIR_CAP_HIWATER and not render_mod._PENDING_DROP
+
+
+def test_tile_major_fetch_matches_image_major(rng):
+    """The tile-major feature fetch (out.blend.extra_tiles indexed by
+    (tile, in-tile) coords) must equal indexing the [H,W,E] map — the
+    identity the single-view and multi-view losses rely on to dead-code
+    -eliminate the map transposes (pipelines/train_semantic.py)."""
+    import jax.numpy as jnp
+    from scene_builder import make_blob_gaussians
+
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              rasterize)
+    from instascene_tpu.viewer.gui import OrbitCamera
+
+    params, _ = make_blob_gaussians(n_per=40)
+    n = params.capacity
+    feat = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    cam = OrbitCamera(64, 48, r=4.0).minicam()
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    for impl in ("xla", "pallas"):
+        cfg = RasterizeConfig(width=64, height=48, impl=impl)
+        out = rasterize(params.xyz, params.scaling_activated(),
+                        params.rotation_normalized(),
+                        params.opacity_activated()[:, 0], cm,
+                        jnp.zeros(3), cfg, shs=params.features(),
+                        sh_degree=0, extras=feat, alive=params.alive)
+        b = out.blend
+        assert b.extra_tiles is not None, impl
+        idx = jnp.asarray(rng.integers(0, 64 * 48, 256).astype(np.int32))
+        ref = b.extra.reshape(-1, 8)[idx]
+        tile = cfg.tile
+        grid_x = (64 + tile - 1) // tile
+        y, x = idx // 64, idx % 64
+        t = (y // tile) * grid_x + (x // tile)
+        p2 = (y % tile) * tile + (x % tile)
+        got = b.extra_tiles[t, :, p2]
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                      err_msg=impl)
