@@ -218,15 +218,19 @@ def bench_geometry(params, make_cam, width=976, height=728, iters=10):
     opt_state = init_adam_state(params)
     stats = init_stats(params.capacity)
     lrs = geometry_lrs(opt, 1.0, 1e-4)
-    # snug 256k-granular pair cap, as GeometryTrainer._adapt_caps sets after
-    # its first probe step (every binning stage is O(pair_cap))
+    # steady-state pair cap, as GeometryTrainer._adapt_caps re-snugs once
+    # densification ends (1.1x the high-water total at 128k granularity —
+    # 2/3 of a 30k-iter run trains at this cap; every binning stage is
+    # O(pair_cap))
     from instascene_tpu.ops.rasterize import CameraMats, compute_binning_cache
-    _, tc0, _ = compute_binning_cache(
-        params, CameraMats(cams[0].w2v, cams[0].full_proj, cams[0].campos),
-        width, height, impl="xla")
-    gran = 256 * 1024
-    snug = max(gran, (int(jnp.sum(tc0)) * 125 // 100 + gran - 1)
-               // gran * gran)
+    hiwater = 0
+    for ct in cams:
+        _, tc0, _ = compute_binning_cache(
+            params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
+            width, height, impl="xla")
+        hiwater = max(hiwater, int(jnp.sum(tc0)))
+    gran = 128 * 1024
+    snug = max(gran, (hiwater * 110 // 100 + gran - 1) // gran * gran)
     cfg = RasterizeConfig(width=width, height=height, pair_cap=snug)
     dummy = jnp.zeros(1)
     bg = jnp.zeros(3)

@@ -238,26 +238,37 @@ class GeometryTrainer:
         return RasterizeConfig(width=int(cam.width), height=int(cam.height),
                                **opts)
 
-    def _adapt_caps(self, metrics) -> None:
+    def _adapt_caps(self, metrics, iteration: int = 0) -> None:
         """Sticky high-water pair_cap: the expand+sort is O(pair_cap), so
-        shrink toward ~2x the observed pair count (one recompile) and double
-        on overflow."""
+        shrink toward the observed pair count (one recompile) and double on
+        overflow. Growth phase keeps 1.25x/256k-granular headroom (each
+        distinct cap is a fresh XLA program — recompiles are minutes cold on
+        the tunnel, so densification must not walk the cap); once
+        densification ends the pair count can only drift with the camera,
+        so a one-time re-snug to 1.1x/128k claws back the slack every
+        remaining step pays (sort, chains, pack gather, kernel tail are all
+        O(pair_cap) — ~6 ms/step at waldo scale)."""
         dropped = int(metrics["n_dropped"])
         total = int(metrics["total_pairs"])
         self._pair_hiwater = max(self._pair_hiwater, total)
         if dropped > 0:
             cur = self._pair_cap or max(64 * 1024, 4 * self.params.capacity)
             self._pair_cap = cur * 2
+            self._post_densify_snug = True  # overflow after snug: stay big
         elif self._pair_cap == 0:
-            # snug 256k-granular cap: every binning stage (sort, scatters,
-            # cumsums) is O(pair_cap), and 1.25x headroom absorbs normal
-            # densification growth between the 50-iter adapt checks (any
-            # overflow doubles the cap on the next check)
             gran = 256 * 1024
             cap = max(gran, (int(total * 1.25) + gran - 1) // gran * gran)
             default = max(64 * 1024, 4 * self.params.capacity)
             if cap < default:
                 self._pair_cap = cap
+        elif (iteration > self.opt.densify_until_iter
+              and not getattr(self, "_post_densify_snug", False)):
+            gran = 128 * 1024
+            snug = max(gran, (int(self._pair_hiwater * 1.1) + gran - 1)
+                       // gran * gran)
+            if snug < self._pair_cap:
+                self._pair_cap = snug
+            self._post_densify_snug = True
 
     def _pop_cam(self) -> int:
         if not getattr(self, "_stack", None):
@@ -344,7 +355,7 @@ class GeometryTrainer:
                 float(self.pipe.depth_ratio), has_prior)
 
         if iteration % 50 == 1:
-            self._adapt_caps(metrics)
+            self._adapt_caps(metrics, iteration)
 
         # densification schedule (train.py:139-151)
         if iteration < opt.densify_until_iter:

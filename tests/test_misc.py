@@ -328,3 +328,37 @@ def test_tile_major_fetch_matches_image_major(rng):
         got = b.extra_tiles[t, :, p2]
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
                                       err_msg=impl)
+
+
+def test_adapt_caps_post_densify_resnug():
+    """GeometryTrainer._adapt_caps: growth phase keeps the 1.25x/256k cap
+    and doubles on overflow; after densification ends it re-snugs ONCE to
+    1.1x/128k of the high-water total (every binning stage is O(pair_cap)),
+    and never shrinks again (an overflow after the snug pins it big)."""
+    import types
+
+    from instascene_tpu.config import OptimizationParams
+    from instascene_tpu.pipelines.train import GeometryTrainer
+
+    t = types.SimpleNamespace(opt=OptimizationParams(), _pair_hiwater=0,
+                              _pair_cap=0,
+                              params=types.SimpleNamespace(capacity=400_000))
+    adapt = GeometryTrainer._adapt_caps
+
+    m = lambda total, dropped=0: {"total_pairs": total, "n_dropped": dropped}
+    # first snap during growth: 1.25x at 256k granularity
+    adapt(t, m(700_000), iteration=51)
+    assert t._pair_cap == 1048576
+    # overflow doubles
+    adapt(t, m(1_100_000, dropped=5), iteration=101)
+    assert t._pair_cap == 2 * 1048576
+    t._post_densify_snug = False
+    # post-densification re-snug: 1.1x of hiwater at 128k granularity
+    hiwater = 1_100_000
+    adapt(t, m(900_000), iteration=t.opt.densify_until_iter + 1)
+    gran = 128 * 1024
+    expect = (int(hiwater * 1.1) + gran - 1) // gran * gran
+    assert t._pair_cap == expect
+    # one-time: no further shrink even if totals fall
+    adapt(t, m(200_000), iteration=t.opt.densify_until_iter + 51)
+    assert t._pair_cap == expect
