@@ -580,7 +580,17 @@ class SegSplatting:
         stack = []
         bar = tqdm(range(1, iterations + 1), desc="Contrastive",
                    disable=not progress)
+        prof_dir = getattr(self, "profile_trace", None)
+        prof_win = getattr(self, "profile_window", (100, 120))
         for it in bar:
+            if prof_dir is not None:
+                import jax as _jax
+                if it == prof_win[0]:
+                    os.makedirs(prof_dir, exist_ok=True)
+                    _jax.profiler.start_trace(prof_dir)
+                elif it == prof_win[1]:
+                    _jax.profiler.stop_trace()
+                    print(f"\n[ITER {it}] profiler trace -> {prof_dir}")
             if not stack:
                 stack = list(range(len(self.cams)))
             ci = stack.pop(self.rng.randint(0, len(stack) - 1))

@@ -36,6 +36,13 @@ def main(argv=None):
                         help="camera-batch data parallelism over this many "
                              "devices (one camera per chip per step, "
                              "gradients pmean'd over ICI)")
+    parser.add_argument("--profile_trace", type=str, default=None,
+                        help="capture a jax.profiler trace (TensorBoard/"
+                             "Perfetto) of the profile window into this dir")
+    parser.add_argument("--profile_window", nargs=2, type=int,
+                        default=[100, 120],
+                        help="[start, end) iterations of --profile_trace "
+                             "(past warm-up so the steady state is traced)")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
     args.save_iterations.append(args.iterations)
 
@@ -82,6 +89,14 @@ def main(argv=None):
     bar = tqdm(range(first_iter + 1, opt.iterations + 1),
                desc="Training progress")
     for it in bar:
+        if args.profile_trace is not None:
+            import jax as _jax
+            if it == args.profile_window[0]:
+                os.makedirs(args.profile_trace, exist_ok=True)
+                _jax.profiler.start_trace(args.profile_trace)
+            elif it == args.profile_window[1]:
+                _jax.profiler.stop_trace()
+                print(f"\n[ITER {it}] profiler trace -> {args.profile_trace}")
         _t0 = _time.perf_counter()
         try:
             metrics = trainer.step(it)

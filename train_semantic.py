@@ -20,6 +20,12 @@ def main(argv=None):
     parser.add_argument("--dp", type=int, default=0,
                         help="camera-batch data parallelism over this many "
                              "devices during contrastive training")
+    parser.add_argument("--profile_trace", type=str, default=None,
+                        help="capture a jax.profiler trace (TensorBoard/"
+                             "Perfetto) of the profile window into this dir")
+    parser.add_argument("--profile_window", nargs=2, type=int,
+                        default=[100, 120],
+                        help="[start, end) contrastive iterations to trace")
     args = parser.parse_args(argv if argv is not None else sys.argv[1:])
 
     dataset = ModelParams.extract(args)
@@ -29,6 +35,9 @@ def main(argv=None):
     from instascene_tpu.pipelines.train_semantic import SegSplatting
 
     segsplat = SegSplatting(dataset, opt, pipe, dp=args.dp)
+    if args.profile_trace:
+        segsplat.profile_trace = args.profile_trace
+        segsplat.profile_window = tuple(args.profile_window)
     segsplat.robust_semantic_priors()
     segsplat.train_segfeat()
     print("\nTraining complete.")
