@@ -79,9 +79,15 @@ class SegmentationEngine:
     score_threshold: float = 0.7
     dbscan_eps: float = 0.15
     dbscan_min_points: int = 10
+    # opt-in frame-coherent binning cache: reuses a tile-dilated pair list
+    # across nearby poses (exact — in-kernel rect clipping). Worth it for
+    # large-splat scenes where the per-frame binning dominates; at small
+    # splat footprints the dilated list carries ~(1 + 2/rect_tiles)^2 more
+    # pairs and the per-frame pack gather + kernel visits outgrow the saved
+    # binning (docs/PERFORMANCE.md round-3 note), hence default off.
+    coherent_binning: bool = False
 
     def __post_init__(self):
-        from ..render import CoherentViewerBinning
         self.proj_mat = pca_proj_matrix(np.asarray(self.params.seg_feature))
         self.chosen_features: List[np.ndarray] = []
         self.prompt_colors: List[np.ndarray] = []   # per-click overlay colors
@@ -90,10 +96,10 @@ class SegmentationEngine:
         self._params_version = 0
         self._initial_params = self.params   # for reload_data
         self._color_rng = np.random.default_rng(0)
-        # orbit/pan cameras move a few pixels per frame: reuse the dilated
-        # binning while the camera stays inside the envelope (exact guard;
-        # rebuilds automatically on segment/delete/reload via array identity)
-        self._coherent = CoherentViewerBinning(dilate_tiles=2)
+        self._coherent = None
+        if self.coherent_binning:
+            from ..render import CoherentViewerBinning
+            self._coherent = CoherentViewerBinning(dilate_tiles=2)
 
     def reload(self) -> None:
         """Restore the model loaded at startup (reference reload_flag,
