@@ -177,6 +177,12 @@ class RasterizeOut(NamedTuple):
     n_dropped: jnp.ndarray    # [] int32 binning overflow diagnostic
     T: jnp.ndarray            # [N,3,3] splat→pixel transforms (pre-offset)
     total_pairs: jnp.ndarray  # [] int32 true (gaussian, tile) pair count
+    # frame-coherent cached-binning guard (render.CoherentViewerBinning):
+    # True iff every gaussian producing pairs at THIS camera also produced
+    # pairs at the cache camera and its fresh rect lies inside the cached
+    # dilated rect — computed from the SAME preprocess the frame uses, so
+    # the guard costs no extra projection pass
+    guard_ok: Optional[jnp.ndarray] = None
 
 
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cfg",
@@ -184,11 +190,19 @@ class RasterizeOut(NamedTuple):
 def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                     campos, bg, colors, shs, extras, t_offset, alive,
                     cached_binning, width, height, sh_degree,
-                    cfg: RasterizeConfig, y_offset=None, full_height=None):
+                    cfg: RasterizeConfig, y_offset=None, full_height=None,
+                    coherent_guard=None):
     pre = preprocess_gaussians(
         means3d, scales, rotations, w2v, full_proj, campos, width, height,
         color=colors, shs=shs, sh_degree=sh_degree, tile=cfg.tile, alive=alive,
         y_offset=y_offset, full_height=full_height)
+    guard_ok = None
+    if coherent_guard is not None:
+        dil_min, dil_max, need0 = coherent_guard
+        need = pre.tiles_touched > 0
+        covered = (need0 & jnp.all(pre.rect_min >= dil_min, axis=-1)
+                   & jnp.all(pre.rect_max <= dil_max, axis=-1))
+        guard_ok = jnp.all(~need | covered)
     if cached_binning is not None:
         # frozen-geometry fast path (semantic training): the per-camera tile
         # lists are constant, so the expand+sort is skipped entirely.
@@ -235,7 +249,8 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                             visible=pre.valid & (pre.radius > 0),
                             depth=pre.depth,
                             n_dropped=binning.n_dropped,
-                            T=pre.T, total_pairs=binning.total_pairs)
+                            T=pre.T, total_pairs=binning.total_pairs,
+                            guard_ok=guard_ok)
     packT = jnp.concatenate([T_used.reshape(n, 9),
                              jnp.zeros((1, 9), T_used.dtype)], axis=0)
     pad1 = lambda a: jnp.concatenate(
@@ -253,7 +268,8 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                         visible=pre.valid & (pre.radius > 0),
                         depth=pre.depth,
                         n_dropped=binning.n_dropped,
-                        T=pre.T, total_pairs=binning.total_pairs)
+                        T=pre.T, total_pairs=binning.total_pairs,
+                        guard_ok=guard_ok)
 
 
 def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
@@ -265,7 +281,8 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
               t_offset: Optional[jnp.ndarray] = None,
               alive: Optional[jnp.ndarray] = None,
               cached_binning=None, y_offset=None,
-              full_height: Optional[int] = None) -> RasterizeOut:
+              full_height: Optional[int] = None,
+              coherent_guard=None) -> RasterizeOut:
     """Rasterize 2D Gaussian surfels.
 
     means3d [N,3]; scales [N,2] (activated); rotations [N,4] (w,x,y,z);
@@ -279,7 +296,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
                            cam.w2v, cam.full_proj, cam.campos, bg,
                            colors, shs, extras, t_offset, alive,
                            cached_binning, cfg.width, cfg.height, sh_degree,
-                           cfg, y_offset, full_height)
+                           cfg, y_offset, full_height, coherent_guard)
 
 
 def rasterize_extras_tiles(means3d, scales, rotations, opacities,

@@ -254,7 +254,10 @@ class GeometryTrainer:
         if dropped > 0:
             cur = self._pair_cap or max(64 * 1024, 4 * self.params.capacity)
             self._pair_cap = cur * 2
-            self._post_densify_snug = True  # overflow after snug: stay big
+            if iteration > self.opt.densify_until_iter:
+                # overflow after the post-densification snug: stay big (a
+                # growth-phase overflow must NOT disable the later re-snug)
+                self._post_densify_snug = True
         elif self._pair_cap == 0:
             gran = 256 * 1024
             cap = max(gran, (int(total * 1.25) + gran - 1) // gran * gran)

@@ -580,17 +580,11 @@ class SegSplatting:
         stack = []
         bar = tqdm(range(1, iterations + 1), desc="Contrastive",
                    disable=not progress)
-        prof_dir = getattr(self, "profile_trace", None)
-        prof_win = getattr(self, "profile_window", (100, 120))
+        from ..utils.profiling import TraceWindow
+        tracer = TraceWindow(getattr(self, "profile_trace", None),
+                             *getattr(self, "profile_window", (100, 120)))
         for it in bar:
-            if prof_dir is not None:
-                import jax as _jax
-                if it == prof_win[0]:
-                    os.makedirs(prof_dir, exist_ok=True)
-                    _jax.profiler.start_trace(prof_dir)
-                elif it == prof_win[1]:
-                    _jax.profiler.stop_trace()
-                    print(f"\n[ITER {it}] profiler trace -> {prof_dir}")
+            tracer.tick(it)
             if not stack:
                 stack = list(range(len(self.cams)))
             ci = stack.pop(self.rng.randint(0, len(stack) - 1))
@@ -659,6 +653,7 @@ class SegSplatting:
                 bar.set_postfix(post)
             if it % save_every == 0 or it == iterations:
                 self.save(it)
+        tracer.close()  # finalize a trace left open mid-window
         self.export_segment_results(iterations, use_hdbscan=True,
                                     note=f"iteration_{iterations}_hdbscan")
 

@@ -73,20 +73,6 @@ def _coherent_rects(xyz, scales, rotations, alive, w2v, full_proj, campos,
     return pre.rect_min, pre.rect_max, pre.tiles_touched > 0
 
 
-@_partial(jax.jit, static_argnames=("width", "height", "tile"))
-def _coherent_ok(xyz, scales, rotations, alive, w2v, full_proj, campos,
-                 dil_min, dil_max, need0, width, height, tile):
-    """True iff every gaussian that produces pairs at THIS camera also
-    produced pairs at the cache camera and its fresh tile rect lies inside
-    the cached dilated rect — the exact superset condition under which the
-    cached pair list covers this frame."""
-    rmin, rmax, need = _coherent_rects(xyz, scales, rotations, alive, w2v,
-                                       full_proj, campos, width, height, tile)
-    covered = (need0 & jnp.all(rmin >= dil_min, axis=-1)
-               & jnp.all(rmax <= dil_max, axis=-1))
-    return jnp.all(~need | covered)
-
-
 class CoherentViewerBinning:
     """Frame-coherent binning cache for an interactive (orbiting) camera.
 
@@ -102,10 +88,13 @@ class CoherentViewerBinning:
     or a gaussian that stopped producing pairs) contributes exactly zero —
     the contribution SET equals fresh binning's. Residual deviations: f32
     addition grouping (gated zero pairs shift the blend scans' chunk
-    boundaries — last-bit), and within-tile pair order is the cache camera's
-    depth order, so near-coincident splats that swap depth rank under the
-    motion blend in the stale order until the next rebuild (same class as
-    the sort's quantized-depth ties).
+    boundaries — last-bit), within-tile pair order is the cache camera's
+    depth order (near-coincident splats that swap depth rank under the
+    motion blend in the stale order until the next rebuild — same class as
+    the sort's quantized-depth ties), and `n_contrib` reports slot positions
+    in the CACHED superset layout (gated pairs still occupy slots), so it is
+    excluded from the parity claim — the float image/alpha/feature/depth
+    outputs are what match.
 
     Scope: pallas impl, scaling_modifier == 1.0 (the cache builds rects at
     unit scaling). The caller passes the instance to render(coherent=...);
@@ -125,36 +114,33 @@ class CoherentViewerBinning:
     def invalidate(self) -> None:
         self._cache = None
 
-    def get(self, p, cam: CameraMats, width: int, height: int, tile: int,
-            impl: str, pallas_chunk: int):
-        """Return a cached visit bundle valid for `cam`, rebuilding if the
-        camera left the dilation envelope, the gaussian set changed, or the
-        frame budget ran out."""
+    def lookup(self, p, width: int, height: int, tile: int):
+        """The cache entry if the gaussian set and frame shape still match
+        (pure identity check — the camera-envelope guard is computed INSIDE
+        the render program, see rasterize(coherent_guard=...)), else None.
+        Identity is by LIVE array references (kept in the cache dict, so a
+        freed array's address can never be reused into a false hit): jax
+        arrays are immutable, so `is`-equality of the geometry fields means
+        the binning inputs are unchanged."""
+        arrs = (p.xyz, p.scaling, p.rotation, getattr(p, "alive", None))
+        shape = (width, height, tile)
+        c = self._cache
+        if (c is not None and c["shape"] == shape
+                and all(a is b for a, b in zip(c["arrs"], arrs))):
+            if self.max_frames and c["frames"] >= self.max_frames:
+                return None
+            return c
+        return None
+
+    def build(self, p, cam: CameraMats, width: int, height: int, tile: int,
+              impl: str, pallas_chunk: int):
+        """(Re)build the dilated binning at `cam`, growing the sticky cap
+        until drop-free (build-time host loop — rebuilds are rare)."""
         from .ops.binning import dilate_rects
         from .ops.rasterize import RasterizeConfig as _RC
         from .ops.rasterize import compute_binning_cache
 
-        xyz = p.xyz
-        scales = p.scaling_activated()
-        rots = p.rotation_normalized()
-        alive = getattr(p, "alive", None)
-        ident = (id(p.xyz), id(p.scaling), id(p.rotation),
-                 None if alive is None else id(alive), width, height, tile)
-        c = self._cache
-        if c is not None and c["ident"] == ident:
-            if self.max_frames and c["frames"] >= self.max_frames:
-                c = None
-            elif bool(_coherent_ok(xyz, scales, rots, alive, cam.w2v,
-                                   cam.full_proj, cam.campos, c["dil_min"],
-                                   c["dil_max"], c["need0"], width, height,
-                                   tile)):
-                c["frames"] += 1
-                self.n_reuses += 1
-                return c["bundle"]
-            else:
-                c = None
-        # (re)build at this camera with dilated rects; grow the sticky cap
-        # until drop-free (build-time host loop — rebuilds are rare)
+        arrs = (p.xyz, p.scaling, p.rotation, getattr(p, "alive", None))
         n = p.capacity
         pair_cap = self._pair_cap
         for _ in range(8):
@@ -172,14 +158,16 @@ class CoherentViewerBinning:
         grid_x = (width + tile - 1) // tile
         grid_y = (height + tile - 1) // tile
         rmin, rmax, need0 = _coherent_rects(
-            xyz, scales, rots, alive, cam.w2v, cam.full_proj, cam.campos,
+            p.xyz, p.scaling_activated(), p.rotation_normalized(),
+            getattr(p, "alive", None), cam.w2v, cam.full_proj, cam.campos,
             width, height, tile)
         dmin, dmax, _ = dilate_rects(rmin, rmax, need0.astype(jnp.int32),
                                      grid_x, grid_y, self.dilate_tiles)
-        self._cache = {"ident": ident, "bundle": bundle, "dil_min": dmin,
-                       "dil_max": dmax, "need0": need0, "frames": 1}
+        self._cache = {"arrs": arrs, "shape": (width, height, tile),
+                       "bundle": bundle, "dil_min": dmin, "dil_max": dmax,
+                       "need0": need0, "frames": 1}
         self.n_builds += 1
-        return bundle
+        return self._cache
 
 
 def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
@@ -272,20 +260,38 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
         # camera stays inside the dilation envelope (see
         # CoherentViewerBinning). clip_rect gates contributions by the FRESH
         # rect in-kernel so the superset list reproduces fresh binning's
-        # clipping exactly; a cached bundle never drops pairs, so the
-        # grow-on-drop loop is skipped
+        # clipping exactly; the containment guard is computed INSIDE the
+        # same program from the frame's own preprocess (no second projection
+        # pass), and its one-scalar fetch resolves after the frame is
+        # dispatched. A cached bundle never drops pairs, so the grow-on-drop
+        # loop is skipped.
         import dataclasses
         r = cfg.resolved(n)
-        coherent_cb = coherent.get(p, cam, width, height, r.tile, r.impl,
-                                   r.pallas_chunk)
-        out = rasterize(p.xyz, p.scaling_activated(),
-                        p.rotation_normalized(),
-                        p.opacity_activated()[:, 0],
-                        cam, bg, dataclasses.replace(cfg, clip_rect=True),
-                        colors=colors, shs=shs,
-                        sh_degree=sh_degree, extras=seg_feature,
-                        t_offset=t_offset, alive=getattr(p, "alive", None),
-                        cached_binning=coherent_cb)
+        ccfg = dataclasses.replace(cfg, clip_rect=True)
+        c = coherent.lookup(p, width, height, r.tile)
+        if c is None:
+            c = coherent.build(p, cam, width, height, r.tile, r.impl,
+                               r.pallas_chunk)
+        for _ in range(2):
+            coherent_cb = c["bundle"]
+            out = rasterize(p.xyz, p.scaling_activated(),
+                            p.rotation_normalized(),
+                            p.opacity_activated()[:, 0],
+                            cam, bg, ccfg, colors=colors, shs=shs,
+                            sh_degree=sh_degree, extras=seg_feature,
+                            t_offset=t_offset,
+                            alive=getattr(p, "alive", None),
+                            cached_binning=coherent_cb,
+                            coherent_guard=(c["dil_min"], c["dil_max"],
+                                            c["need0"]))
+            if bool(out.guard_ok):
+                c["frames"] += 1
+                coherent.n_reuses += 1
+                break
+            # camera left the envelope: rebuild at this camera and re-render
+            # (the rebuilt cache's guard is true by construction)
+            c = coherent.build(p, cam, width, height, r.tile, r.impl,
+                               r.pallas_chunk)
 
     for attempt in range(4):
         if coherent_cb is not None:

@@ -22,6 +22,36 @@ def trace(log_dir: str = "/tmp/instascene_trace"):
         jax.profiler.stop_trace()
 
 
+class TraceWindow:
+    """Iteration-windowed jax.profiler trace for training loops: call
+    `tick(it)` each iteration and `close()` after the loop (idempotent —
+    also stops a trace left open by a run that ended mid-window)."""
+
+    def __init__(self, log_dir: str, start: int, end: int):
+        self.log_dir = log_dir
+        self.start = int(start)
+        self.end = int(end)
+        self._active = False
+
+    def tick(self, it: int) -> None:
+        if self.log_dir is None or self.end <= self.start:
+            return
+        if it == self.start and not self._active:
+            import jax
+            os.makedirs(self.log_dir, exist_ok=True)
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+        elif it == self.end and self._active:
+            self.close()
+
+    def close(self) -> None:
+        if self._active:
+            import jax
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"\nprofiler trace -> {self.log_dir}")
+
+
 class StepProfiler:
     """Per-section wall-clock accounting across training steps."""
 

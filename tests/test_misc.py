@@ -349,10 +349,11 @@ def test_adapt_caps_post_densify_resnug():
     # first snap during growth: 1.25x at 256k granularity
     adapt(t, m(700_000), iteration=51)
     assert t._pair_cap == 1048576
-    # overflow doubles
+    # overflow doubles; a growth-phase overflow must NOT disable the later
+    # post-densification re-snug
     adapt(t, m(1_100_000, dropped=5), iteration=101)
     assert t._pair_cap == 2 * 1048576
-    t._post_densify_snug = False
+    assert not getattr(t, "_post_densify_snug", False)
     # post-densification re-snug: 1.1x of hiwater at 128k granularity
     hiwater = 1_100_000
     adapt(t, m(900_000), iteration=t.opt.densify_until_iter + 1)

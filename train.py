@@ -88,15 +88,10 @@ def main(argv=None):
     tb = maybe_summary_writer(scene.model_path)
     bar = tqdm(range(first_iter + 1, opt.iterations + 1),
                desc="Training progress")
+    from instascene_tpu.utils.profiling import TraceWindow
+    tracer = TraceWindow(args.profile_trace, *args.profile_window)
     for it in bar:
-        if args.profile_trace is not None:
-            import jax as _jax
-            if it == args.profile_window[0]:
-                os.makedirs(args.profile_trace, exist_ok=True)
-                _jax.profiler.start_trace(args.profile_trace)
-            elif it == args.profile_window[1]:
-                _jax.profiler.stop_trace()
-                print(f"\n[ITER {it}] profiler trace -> {args.profile_trace}")
+        tracer.tick(it)
         _t0 = _time.perf_counter()
         try:
             metrics = trainer.step(it)
@@ -138,6 +133,7 @@ def main(argv=None):
         if gui is not None:
             gui.tick(trainer, pipe, dataset)
 
+    tracer.close()  # finalize a trace left open by a run ending mid-window
     print("\nTraining complete.")
 
 
