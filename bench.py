@@ -231,7 +231,11 @@ def bench_geometry(params, make_cam, width=976, height=728, iters=10):
         hiwater = max(hiwater, int(jnp.sum(tc0)))
     gran = 128 * 1024
     snug = max(gran, (hiwater * 110 // 100 + gran - 1) // gran * gran)
-    cfg = RasterizeConfig(width=width, height=height, pair_cap=snug)
+    # no_depth_dist: lambda_dist == 0 is the reference default, so default
+    # training never reads rend_dist — the trainer's _cfg skips the kernels'
+    # distortion machinery at compile time; the bench models the same
+    cfg = RasterizeConfig(width=width, height=height, pair_cap=snug,
+                          no_depth_dist=True)
     dummy = jnp.zeros(1)
     bg = jnp.zeros(3)
     lam = tuple(jnp.float32(v) for v in (0.2, 0.0, 0.05, 0.0))

@@ -40,7 +40,7 @@ from .preprocess import FAR_N, FILTER_INV_SQUARE, NEAR_N
 def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
                        packed_ref, *refs, tile, grid_x, num_tiles,
                        n_extra, chunk=CHUNK, extras_only=False, viewer=False,
-                       track=False, clip_rect=False):
+                       track=False, clip_rect=False, no_dist=False):
     if track:
         # track mode: full body + the w>0.1 contributor buffer (the CUDA
         # gau_related_pixels analogue, forward.cu:422-428, deterministic
@@ -197,22 +197,24 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         acc_col = acc_sel[4:7]
         acc_dep = jnp.sum(w * depth_ray, axis=0, keepdims=True)
 
-        d_safe = jnp.where(m, depth_ray, 1.0)
-        md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / d_safe)
-        mw = md * w
-        m2w = md * md * w
-        mm_excl = _cumsum_excl_pair(mw, m2w)
-        P2 = tile * tile
-        if select_init:
-            m1_in = jnp.where(first, 0.0, m1s[0:1])
-            m2_in = jnp.where(first, 0.0, m2s[0:1])
-        else:
-            m1_in = m1s[0:1]
-            m2_in = m2s[0:1]
-        m1_excl = m1_in + mm_excl[:, :P2]
-        m2_excl = m2_in + mm_excl[:, P2:]
-        acc_dist = jnp.sum((md * md * (1.0 - T_c) + m2_excl
-                            - 2.0 * md * m1_excl) * w, axis=0, keepdims=True)
+        if not no_dist:
+            d_safe = jnp.where(m, depth_ray, 1.0)
+            md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / d_safe)
+            mw = md * w
+            m2w = md * md * w
+            mm_excl = _cumsum_excl_pair(mw, m2w)
+            P2 = tile * tile
+            if select_init:
+                m1_in = jnp.where(first, 0.0, m1s[0:1])
+                m2_in = jnp.where(first, 0.0, m2s[0:1])
+            else:
+                m1_in = m1s[0:1]
+                m2_in = m2s[0:1]
+            m1_excl = m1_in + mm_excl[:, :P2]
+            m2_excl = m2_in + mm_excl[:, P2:]
+            acc_dist = jnp.sum((md * md * (1.0 - T_c) + m2_excl
+                                - 2.0 * md * m1_excl) * w, axis=0,
+                               keepdims=True)
 
         iota_c = jax.lax.broadcasted_iota(jnp.int32, cmask.shape, 0)
         cand = cmask & (T_c > 0.5)
@@ -224,25 +226,35 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         med_slot = jnp.max(jnp.where(med_onehot, gslot, 0), axis=0,
                            keepdims=True)
 
-        m1_new = m1_in + jnp.sum(mw, axis=0, keepdims=True)
-        m2_new = m2_in + jnp.sum(m2w, axis=0, keepdims=True)
         out_ref[0, 0:3] = out[0:3] + acc_col
         out_ref[0, 3:4] = out[3:4] + acc_dep
         out_ref[0, 4:7] = out[4:7] + acc_nrm
         out_ref[0, 7:8] = jnp.where(has_cand, med_val, out[7:8])
-        out_ref[0, 8:9] = out[8:9] + acc_dist
         out_ref[0, 9:10] = T_out
         if E:
             out_ref[0, 10:10 + E] = out[10:10 + E] + acc_sel[7:7 + E]
-        out_ref[0, 10 + E:11 + E] = m1_new
-        out_ref[0, 11 + E:12 + E] = m2_new
+        if no_dist:
+            # distortion machinery compile-time skipped (lambda_dist == 0,
+            # the reference default): these rows must still be WRITTEN each
+            # working visit — FULL mode displaces stale VMEM with absolute
+            # stores (see select_init) — but their value is exact zero
+            zrow = jnp.zeros_like(T_out)
+            out_ref[0, 8:9] = zrow
+            out_ref[0, 10 + E:11 + E] = zrow
+            out_ref[0, 11 + E:12 + E] = zrow
+        else:
+            m1_new = m1_in + jnp.sum(mw, axis=0, keepdims=True)
+            m2_new = m2_in + jnp.sum(m2w, axis=0, keepdims=True)
+            out_ref[0, 8:9] = out[8:9] + acc_dist
+            out_ref[0, 10 + E:11 + E] = m1_new
+            out_ref[0, 11 + E:12 + E] = m2_new
+            m1s[0:1] = m1_new
+            m2s[0:1] = m2_new
 
         iout_ref[0, 0:1] = jnp.maximum(iout[0:1], lastc)
         iout_ref[0, 1:2] = jnp.where(has_cand, med_slot, iout[1:2])
 
         Tst[0:1] = T_out
-        m1s[0:1] = m1_new
-        m2s[0:1] = m2_new
         done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
 
 
@@ -259,7 +271,7 @@ def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
                             interpret: bool = False, chunk: int = CHUNK,
                             extras_only: bool = False,
                             viewer: bool = False, track: bool = False,
-                            clip_rect: bool = False):
+                            clip_rect: bool = False, no_dist: bool = False):
     """packed [P, D] slot-major (P = pair_cap, % chunk == 0). With track,
     packed's last column must be the gaussian id (f32) and the return gains
     (contrib_ids [T,K,P2] int32, contrib_w [T,K,P2] f32)."""
@@ -304,7 +316,7 @@ def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
                                num_tiles=num_tiles, n_extra=n_extra,
                                chunk=chunk, extras_only=extras_only,
                                viewer=viewer, track=track,
-                               clip_rect=clip_rect)
+                               clip_rect=clip_rect, no_dist=no_dist)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -322,7 +334,7 @@ def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
                        packed_ref, gout_ref, sv_ref, iout_ref, dout_ref,
                        Tst, Ss, *, tile, grid_x, num_tiles, n_extra,
                        n_visits, chunk=CHUNK, extras_only=False,
-                       clip_rect=False):
+                       clip_rect=False, no_dist=False):
     i = pl.program_id(0)
     j = n_visits - 1 - i
     E = n_extra
@@ -409,17 +421,17 @@ def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         gdist = gout_ref[0, 8:9]
         gTfin = gout_ref[0, 9:10]
 
-        d_safe = jnp.where(cmask, depth_ray, 1.0)
-        inv_d = 1.0 / d_safe
-        md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N * inv_d)
-
         gsel = jnp.concatenate(
             [gnrm, jnp.zeros_like(gD), gcol]
             + ([gout_ref[0, 10:10 + E]] if E else []), axis=0)  # [7+E, P2]
         dLdw = (jnp.dot(bt[:, _NRM:_NRM + 7 + E], gsel,
                         preferred_element_type=jnp.float32)
-                + depth_ray * gD
-                + gdist * (md * md * a_fin + m2tot - 2.0 * md * m1tot))
+                + depth_ray * gD)
+        if not no_dist:
+            d_safe = jnp.where(cmask, depth_ray, 1.0)
+            inv_d = 1.0 / d_safe
+            md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N * inv_d)
+            dLdw = dLdw + gdist * (md * md * a_fin + m2tot - 2.0 * md * m1tot)
 
         dw_w = jnp.where(cmask, dLdw * w, 0.0)
         tot = jnp.sum(dw_w, axis=0, keepdims=True)
@@ -434,9 +446,10 @@ def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         dLdrho = -0.5 * G * dLdG
 
         is_med = cmask & (gslot == med_slot)
-        dmd_dd = (FAR_N * NEAR_N) / (FAR_N - NEAR_N) * inv_d * inv_d
-        dLdd = (w * gD + jnp.where(is_med, gmed, 0.0)
-                + gdist * 2.0 * w * (md * a_fin - m1tot) * dmd_dd)
+        dLdd = w * gD + jnp.where(is_med, gmed, 0.0)
+        if not no_dist:
+            dmd_dd = (FAR_N * NEAR_N) / (FAR_N - NEAR_N) * inv_d * inv_d
+            dLdd = dLdd + gdist * 2.0 * w * (md * a_fin - m1tot) * dmd_dd
         dLdd = jnp.where(cmask, dLdd, 0.0)
 
         use3d = g["use3d"] & cmask
@@ -483,7 +496,8 @@ def blend_bwd_pallas_visits(packed, gout, saved, iout, visit_tile,
                             n_extra: int, interpret: bool = False,
                             extras_only: bool = False,
                             chunk: int = CHUNK,
-                            clip_rect: bool = False) -> jnp.ndarray:
+                            clip_rect: bool = False,
+                            no_dist: bool = False) -> jnp.ndarray:
     """packed [P, D] slot-major; returns d(packed) [P, rows]."""
     P, D = packed.shape
     V = visit_tile.shape[0]
@@ -515,7 +529,8 @@ def blend_bwd_pallas_visits(packed, gout, saved, iout, visit_tile,
     kernel = functools.partial(_bwd_kernel_visits, tile=tile, grid_x=grid_x,
                                num_tiles=num_tiles, n_extra=n_extra,
                                n_visits=V, chunk=chunk,
-                               extras_only=extras_only, clip_rect=clip_rect)
+                               extras_only=extras_only, clip_rect=clip_rect,
+                               no_dist=no_dist)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -529,20 +544,22 @@ def blend_bwd_pallas_visits(packed, gout, saved, iout, visit_tile,
 
 def _visits_fwd_impl(flat, bundle, num_tiles, tile, grid_x, n_extra,
                      interpret, chunk=CHUNK, extras_only=False, viewer=False,
-                     clip_rect=False):
+                     clip_rect=False, no_dist=False):
     sorted_gid, vc, vt, vs0, vs1, vts = bundle[:6]
     packed = flat[sorted_gid]                 # [P, D] slot-major
     f = blend_fwd_pallas_visits(packed, vt, vc, vs0, vs1, vts, num_tiles,
                                 tile, grid_x, n_extra, interpret,
                                 chunk=chunk, extras_only=extras_only,
-                                viewer=viewer, clip_rect=clip_rect)
+                                viewer=viewer, clip_rect=clip_rect,
+                                no_dist=no_dist)
     return f.out, f.iout, packed
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
 def blend_visits_diff(flat, binning_bundle, num_tiles, tile, grid_x,
                       n_extra, interpret, extras_only=False, chunk=CHUNK,
-                      clip_rect=False):
+                      clip_rect=False, no_dist=False):
     """Differentiable visit-layout Pallas blend.
 
     flat [N+1, D] per-gaussian packed attrs (sentinel zero row last);
@@ -553,7 +570,8 @@ def blend_visits_diff(flat, binning_bundle, num_tiles, tile, grid_x,
     mode, pack_flat_cols rect=). Returns (out [T,OC,P2], iout [T,2,P2])."""
     out, iout, _ = _visits_fwd_impl(flat, binning_bundle, num_tiles, tile,
                                     grid_x, n_extra, interpret, chunk,
-                                    extras_only, clip_rect=clip_rect)
+                                    extras_only, clip_rect=clip_rect,
+                                    no_dist=no_dist)
     return out, iout
 
 
@@ -588,17 +606,18 @@ def blend_visits_track(flat, binning_bundle, num_tiles, tile, grid_x,
 
 def _blend_visits_diff_fwd(flat, bundle, num_tiles, tile, grid_x, n_extra,
                            interpret, extras_only=False, chunk=CHUNK,
-                           clip_rect=False):
+                           clip_rect=False, no_dist=False):
     out, iout, packed = _visits_fwd_impl(flat, bundle, num_tiles, tile,
                                          grid_x, n_extra, interpret, chunk,
-                                         extras_only, clip_rect=clip_rect)
+                                         extras_only, clip_rect=clip_rect,
+                                         no_dist=no_dist)
     E = n_extra
     saved = jnp.concatenate([out[:, 9:10], out[:, 10 + E:12 + E]], axis=1)
     return (out, iout), (packed, bundle, saved, iout, flat.shape[0])
 
 
 def _blend_visits_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
-                           extras_only, chunk, clip_rect, res, cts):
+                           extras_only, chunk, clip_rect, no_dist, res, cts):
     packed, bundle, saved, iout, n1 = res
     gout, _ = cts
     sorted_gid, vc, vt, vs0, vs1, vts = bundle[:6]
@@ -608,7 +627,7 @@ def _blend_visits_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
                                        vs0, vs1, vts, num_tiles, tile,
                                        grid_x, n_extra, interpret,
                                        extras_only=extras_only, chunk=chunk,
-                                       clip_rect=clip_rect)
+                                       clip_rect=clip_rect, no_dist=no_dist)
     cols = d_sorted.shape[1]
     if gid_order is not None:
         # cached-binning path: gather+cumsum+segment-diff chain (indices

@@ -61,6 +61,14 @@ class RasterizeConfig:
     # by tile ∈ rect in-kernel, so a cached (dilated) pair list reproduces
     # fresh binning's rect clipping exactly. Pallas visit kernels only.
     clip_rect: bool = False
+    # compile-time skip of the distortion machinery (the per-visit m1/m2
+    # pair scan in the forward, the md/dist grad chains in the backward) for
+    # callers whose loss never reads rend_dist — lambda_dist == 0 is the
+    # reference default, so default geometry training pays this every step
+    # otherwise. The distortion/m1/m2 output rows come back exact zeros.
+    # Pallas visit kernels only; the XLA path DCEs these through autodiff
+    # automatically, so the flag is a no-op there.
+    no_depth_dist: bool = False
 
     def resolved(self, n: int) -> "RasterizeConfig":
         # auto caps are deliberately tight — the sort is O(pair_cap); callers
@@ -83,7 +91,8 @@ class RasterizeConfig:
         return RasterizeConfig(self.width, self.height, self.tile, chunk,
                                pair_cap, tile_cap, self.track_contrib, impl,
                                self.bwd_extras_only, self.pallas_chunk,
-                               self.fwd_viewer, self.clip_rect)
+                               self.fwd_viewer, self.clip_rect,
+                               self.no_depth_dist)
 
 
 def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
@@ -149,7 +158,8 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
                                           num_tiles, cfg.tile, grid_x, E,
                                           interp, cfg.bwd_extras_only,
                                           cfg.pallas_chunk,
-                                          clip_rect=cfg.clip_rect)
+                                          clip_rect=cfg.clip_rect,
+                                          no_dist=cfg.no_depth_dist)
     elif cfg.fwd_viewer:
         out, iout = blend_aligned_viewer(flat, tuple(binning.aligned),
                                          num_tiles, cfg.tile, grid_x, E,

@@ -231,10 +231,18 @@ class GeometryTrainer:
                     f"--dp requires a uniform camera resolution; got {sizes}")
             self.mesh = make_mesh(self.dp)
 
-    def _cfg(self, cam: Camera) -> RasterizeConfig:
+    def _cfg(self, cam: Camera, lam_dist: float = 1.0) -> RasterizeConfig:
         opts = dict(self.rasterize_opts)
         if self._pair_cap and "pair_cap" not in opts:
             opts["pair_cap"] = self._pair_cap
+        if (lam_dist == 0.0 and float(self.pipe.depth_ratio) == 1.0
+                and "no_depth_dist" not in opts):
+            # distortion loss off (the reference default lambda_dist == 0,
+            # or the pre-3k gate) and median-only surf depth: the kernels'
+            # distortion machinery is dead weight the hand-written backward
+            # cannot DCE — skip it at compile time. The 3k gate costs one
+            # extra (cached) compile when lambda_dist > 0 turns on.
+            opts["no_depth_dist"] = True
         return RasterizeConfig(width=int(cam.width), height=int(cam.height),
                                **opts)
 
@@ -285,7 +293,9 @@ class GeometryTrainer:
         idxs = [self._pop_cam() for _ in range(self.dp)]
         cts = [self.cams[i] for i in idxs]
         has_prior = all(ct.normal_prior is not None for ct in cts)
-        cfg = self._cfg(self.cam_objs[idxs[0]])
+        cfg = self._cfg(self.cam_objs[idxs[0]],
+                        lam_dist=(opt.lambda_dist if iteration > 3000
+                                  else 0.0))
         ct0 = cts[0]
         # the DP step bakes the batch's fov (used by the depth->normal ray
         # grid); mixed-intrinsics datasets would silently get camera 0's
@@ -343,7 +353,7 @@ class GeometryTrainer:
             lam_prior = opt.lambda_normal_prior if iteration > 7000 else 0.0
             has_prior = ct.normal_prior is not None
 
-            cfg = self._cfg(cam_obj)
+            cfg = self._cfg(cam_obj, lam_dist=lam_dist)
             from ..models.optimizer import dev_scalar
             if not hasattr(self, "_dummy1"):
                 self._dummy1 = jnp.zeros(1)

@@ -836,3 +836,55 @@ def test_pallas_tracker_matches_xla(rng):
     assert np.allclose(np.asarray(bx.color), np.asarray(bp.color), atol=3e-4)
     assert np.allclose(np.asarray(bx.final_T), np.asarray(bp.final_T),
                        atol=2e-5)
+
+
+def test_no_depth_dist_matches_xla(rng):
+    """cfg.no_depth_dist compile-time-skips the distortion machinery; for a
+    loss that reads only the lean outputs (color/normal/median/alpha — the
+    default geometry loss shape: lambda_dist == 0 is the reference default
+    and depth_ratio == 1), values and grads must match the full XLA path,
+    and the skipped outputs must come back exact zeros."""
+    from instascene_tpu.cameras import Camera
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              rasterize)
+    pos = np.array([0.0, -3.5, 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="t", width=W, height=H)
+    n = 60
+    xyz = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    scales = np.exp(rng.normal(-2.0, 0.4, (n, 2))).astype(np.float32)
+    rots = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.95, (n,)).astype(np.float32)
+    color = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    bg = jnp.asarray([0.2, 0.1, 0.4])
+
+    def loss(impl, no_dist, xyz_, opac_):
+        cfg = RasterizeConfig(width=W, height=H, pair_cap=8192, tile_cap=256,
+                              impl=impl, no_depth_dist=no_dist)
+        out = rasterize(xyz_, jnp.asarray(scales), jnp.asarray(rots), opac_,
+                        cm, bg, cfg, colors=jnp.asarray(color))
+        b = out.blend
+        return (jnp.sum(b.color ** 2) + jnp.sum(b.median_depth)
+                + jnp.sum(b.normal ** 2) + jnp.sum(b.alpha)), b
+
+    (vx, bx) = loss("xla", False, jnp.asarray(xyz), jnp.asarray(opac))
+    (vp, bp) = loss("pallas", True, jnp.asarray(xyz), jnp.asarray(opac))
+    assert np.isclose(float(vx), float(vp), rtol=2e-4)
+    assert np.allclose(np.asarray(bx.color), np.asarray(bp.color), atol=3e-4)
+    assert np.allclose(np.asarray(bx.median_depth),
+                       np.asarray(bp.median_depth), atol=3e-4)
+    # skipped outputs: exact zeros, not garbage (the Pallas stale-VMEM trap)
+    assert np.all(np.asarray(bp.distortion) == 0.0)
+
+    gx = jax.grad(lambda a, b: loss("xla", False, a, b)[0], argnums=(0, 1))(
+        jnp.asarray(xyz), jnp.asarray(opac))
+    gp = jax.grad(lambda a, b: loss("pallas", True, a, b)[0], argnums=(0, 1))(
+        jnp.asarray(xyz), jnp.asarray(opac))
+    for a, b, nm in zip(gx, gp, ("xyz", "opac")):
+        a, b = np.asarray(a), np.asarray(b)
+        denom = np.abs(a).max() + 1e-8
+        assert np.abs(a - b).max() / denom < 5e-3, (
+            nm, np.abs(a - b).max(), denom)
