@@ -195,7 +195,11 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
                           preferred_element_type=jnp.float32)  # [7+E, P2]
         acc_nrm = acc_sel[0:3]
         acc_col = acc_sel[4:7]
-        acc_dep = jnp.sum(w * depth_ray, axis=0, keepdims=True)
+        if not no_dist:
+            # expected-depth accumulation: skipped with the distortion
+            # machinery (no_dist callers use median-only surf depth,
+            # depth_ratio == 1)
+            acc_dep = jnp.sum(w * depth_ray, axis=0, keepdims=True)
 
         if not no_dist:
             d_safe = jnp.where(m, depth_ray, 1.0)
@@ -227,24 +231,26 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
                            keepdims=True)
 
         out_ref[0, 0:3] = out[0:3] + acc_col
-        out_ref[0, 3:4] = out[3:4] + acc_dep
         out_ref[0, 4:7] = out[4:7] + acc_nrm
         out_ref[0, 7:8] = jnp.where(has_cand, med_val, out[7:8])
         out_ref[0, 9:10] = T_out
         if E:
             out_ref[0, 10:10 + E] = out[10:10 + E] + acc_sel[7:7 + E]
         if no_dist:
-            # distortion machinery compile-time skipped (lambda_dist == 0,
-            # the reference default): these rows must still be WRITTEN each
-            # working visit — FULL mode displaces stale VMEM with absolute
-            # stores (see select_init) — but their value is exact zero
+            # distortion + expected-depth machinery compile-time skipped
+            # (lambda_dist == 0, the reference default; depth_ratio == 1):
+            # these rows must still be WRITTEN each working visit — FULL
+            # mode displaces stale VMEM with absolute stores (see
+            # select_init) — but their value is exact zero
             zrow = jnp.zeros_like(T_out)
+            out_ref[0, 3:4] = zrow
             out_ref[0, 8:9] = zrow
             out_ref[0, 10 + E:11 + E] = zrow
             out_ref[0, 11 + E:12 + E] = zrow
         else:
             m1_new = m1_in + jnp.sum(mw, axis=0, keepdims=True)
             m2_new = m2_in + jnp.sum(m2w, axis=0, keepdims=True)
+            out_ref[0, 3:4] = out[3:4] + acc_dep
             out_ref[0, 8:9] = out[8:9] + acc_dist
             out_ref[0, 10 + E:11 + E] = m1_new
             out_ref[0, 11 + E:12 + E] = m2_new
@@ -424,9 +430,10 @@ def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         gsel = jnp.concatenate(
             [gnrm, jnp.zeros_like(gD), gcol]
             + ([gout_ref[0, 10:10 + E]] if E else []), axis=0)  # [7+E, P2]
-        dLdw = (jnp.dot(bt[:, _NRM:_NRM + 7 + E], gsel,
-                        preferred_element_type=jnp.float32)
-                + depth_ray * gD)
+        dLdw = jnp.dot(bt[:, _NRM:_NRM + 7 + E], gsel,
+                       preferred_element_type=jnp.float32)
+        if not no_dist:
+            dLdw = dLdw + depth_ray * gD
         if not no_dist:
             d_safe = jnp.where(cmask, depth_ray, 1.0)
             inv_d = 1.0 / d_safe
@@ -446,10 +453,12 @@ def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         dLdrho = -0.5 * G * dLdG
 
         is_med = cmask & (gslot == med_slot)
-        dLdd = w * gD + jnp.where(is_med, gmed, 0.0)
-        if not no_dist:
+        if no_dist:
+            dLdd = jnp.where(is_med, gmed, 0.0)
+        else:
             dmd_dd = (FAR_N * NEAR_N) / (FAR_N - NEAR_N) * inv_d * inv_d
-            dLdd = dLdd + gdist * 2.0 * w * (md * a_fin - m1tot) * dmd_dd
+            dLdd = (w * gD + jnp.where(is_med, gmed, 0.0)
+                    + gdist * 2.0 * w * (md * a_fin - m1tot) * dmd_dd)
         dLdd = jnp.where(cmask, dLdd, 0.0)
 
         use3d = g["use3d"] & cmask

@@ -878,6 +878,7 @@ def test_no_depth_dist_matches_xla(rng):
                        np.asarray(bp.median_depth), atol=3e-4)
     # skipped outputs: exact zeros, not garbage (the Pallas stale-VMEM trap)
     assert np.all(np.asarray(bp.distortion) == 0.0)
+    assert np.all(np.asarray(bp.depth) == 0.0)
 
     gx = jax.grad(lambda a, b: loss("xla", False, a, b)[0], argnums=(0, 1))(
         jnp.asarray(xyz), jnp.asarray(opac))
