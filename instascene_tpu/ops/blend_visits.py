@@ -200,8 +200,6 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
             # machinery (no_dist callers use median-only surf depth,
             # depth_ratio == 1)
             acc_dep = jnp.sum(w * depth_ray, axis=0, keepdims=True)
-
-        if not no_dist:
             d_safe = jnp.where(m, depth_ray, 1.0)
             md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / d_safe)
             mw = md * w
@@ -433,12 +431,11 @@ def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         dLdw = jnp.dot(bt[:, _NRM:_NRM + 7 + E], gsel,
                        preferred_element_type=jnp.float32)
         if not no_dist:
-            dLdw = dLdw + depth_ray * gD
-        if not no_dist:
             d_safe = jnp.where(cmask, depth_ray, 1.0)
             inv_d = 1.0 / d_safe
             md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N * inv_d)
-            dLdw = dLdw + gdist * (md * md * a_fin + m2tot - 2.0 * md * m1tot)
+            dLdw = (dLdw + depth_ray * gD
+                    + gdist * (md * md * a_fin + m2tot - 2.0 * md * m1tot))
 
         dw_w = jnp.where(cmask, dLdw * w, 0.0)
         tot = jnp.sum(dw_w, axis=0, keepdims=True)

@@ -61,13 +61,15 @@ class RasterizeConfig:
     # by tile ∈ rect in-kernel, so a cached (dilated) pair list reproduces
     # fresh binning's rect clipping exactly. Pallas visit kernels only.
     clip_rect: bool = False
-    # compile-time skip of the distortion machinery (the per-visit m1/m2
-    # pair scan in the forward, the md/dist grad chains in the backward) for
-    # callers whose loss never reads rend_dist — lambda_dist == 0 is the
-    # reference default, so default geometry training pays this every step
-    # otherwise. The distortion/m1/m2 output rows come back exact zeros.
-    # Pallas visit kernels only; the XLA path DCEs these through autodiff
-    # automatically, so the flag is a no-op there.
+    # compile-time skip of the distortion + expected-depth machinery (the
+    # per-visit m1/m2 pair scan in the forward, the md/dist/depth grad
+    # chains in the backward) for callers whose loss reads neither rend_dist
+    # nor the expected depth — lambda_dist == 0 and depth_ratio == 1 are the
+    # reference defaults, so default geometry training pays this every step
+    # otherwise. The skipped output rows come back exact zeros. Implemented
+    # for the Pallas visit kernels only: the flag is ignored on the XLA
+    # path (the CPU/test backend, where the traced lambda_dist scalar keeps
+    # the chains live but throughput is not the goal).
     no_depth_dist: bool = False
 
     def resolved(self, n: int) -> "RasterizeConfig":

@@ -103,9 +103,17 @@ class CoherentViewerBinning:
     frame (rasterizer_impl.cu:217-260); this is a TPU-side addition for the
     GUI loop (VERDICT round-2 item 2)."""
 
-    def __init__(self, dilate_tiles: int = 2, max_frames: int = 0):
+    def __init__(self, dilate_tiles: int = 2, max_frames: int = 0,
+                 guard: str = "sync"):
         self.dilate_tiles = int(dilate_tiles)
         self.max_frames = int(max_frames)  # 0 → rely on the exact guard only
+        # guard resolution: "sync" fetches guard_ok after each frame (exact
+        # every frame; the fetch waits for the frame program — fine for a
+        # GUI that fetches the frame anyway); "async" resolves the PREVIOUS
+        # frame's guard instead (zero extra host syncs; at most one frame
+        # renders from a stale envelope after fast motion, then rebuilds)
+        assert guard in ("sync", "async"), guard
+        self.guard = guard
         self.n_builds = 0       # test/diagnostic: how many rebuilds happened
         self.n_reuses = 0
         self._cache = None
@@ -207,13 +215,11 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
                               track_contrib=track_contrib,
                               fwd_viewer=viewer)
     else:
-        cfg = RasterizeConfig(width=width, height=height, tile=cfg.tile,
-                              chunk=cfg.chunk, pair_cap=cfg.pair_cap,
-                              tile_cap=cfg.tile_cap,
-                              track_contrib=track_contrib or cfg.track_contrib,
-                              impl=cfg.impl, pallas_chunk=cfg.pallas_chunk,
-                              bwd_extras_only=cfg.bwd_extras_only,
-                              fwd_viewer=viewer or cfg.fwd_viewer)
+        import dataclasses
+        cfg = dataclasses.replace(cfg, width=width, height=height,
+                                  track_contrib=(track_contrib
+                                                 or cfg.track_contrib),
+                                  fwd_viewer=viewer or cfg.fwd_viewer)
     # auto caps are a heuristic; at high resolutions the true pair count can
     # exceed them (the CUDA reference allocates the exact total dynamically).
     # When the caller didn't pin pair_cap, grow to a sticky high-water cap on
@@ -269,29 +275,51 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
         r = cfg.resolved(n)
         ccfg = dataclasses.replace(cfg, clip_rect=True)
         c = coherent.lookup(p, width, height, r.tile)
+        from_cache = c is not None
         if c is None:
             c = coherent.build(p, cam, width, height, r.tile, r.impl,
                                r.pallas_chunk)
-        for _ in range(2):
-            coherent_cb = c["bundle"]
-            out = rasterize(p.xyz, p.scaling_activated(),
-                            p.rotation_normalized(),
-                            p.opacity_activated()[:, 0],
-                            cam, bg, ccfg, colors=colors, shs=shs,
-                            sh_degree=sh_degree, extras=seg_feature,
-                            t_offset=t_offset,
-                            alive=getattr(p, "alive", None),
-                            cached_binning=coherent_cb,
-                            coherent_guard=(c["dil_min"], c["dil_max"],
-                                            c["need0"]))
-            if bool(out.guard_ok):
+        elif coherent.guard == "async":
+            # resolve the PREVIOUS frame's guard instead of stalling this
+            # one (same pattern as drop_check='async'): at most one frame
+            # renders from a stale envelope after fast motion, then the
+            # cache rebuilds here before this frame is dispatched
+            pend = c.pop("pending_ok", None)
+            if pend is not None and not bool(pend):
+                c = coherent.build(p, cam, width, height, r.tile, r.impl,
+                                   r.pallas_chunk)
+                from_cache = False
+
+        def _render_coherent(cc):
+            return rasterize(p.xyz, p.scaling_activated(),
+                             p.rotation_normalized(),
+                             p.opacity_activated()[:, 0],
+                             cam, bg, ccfg, colors=colors, shs=shs,
+                             sh_degree=sh_degree, extras=seg_feature,
+                             t_offset=t_offset,
+                             alive=getattr(p, "alive", None),
+                             cached_binning=cc["bundle"],
+                             coherent_guard=(cc["dil_min"], cc["dil_max"],
+                                             cc["need0"]))
+
+        out = _render_coherent(c)
+        coherent_cb = c["bundle"]
+        if coherent.guard == "async":
+            c["pending_ok"] = out.guard_ok
+            if from_cache:
                 c["frames"] += 1
                 coherent.n_reuses += 1
-                break
-            # camera left the envelope: rebuild at this camera and re-render
-            # (the rebuilt cache's guard is true by construction)
+        elif not bool(out.guard_ok):
+            # sync mode: the camera left the envelope — rebuild at this
+            # camera and re-render (the rebuilt cache's guard is true by
+            # construction)
             c = coherent.build(p, cam, width, height, r.tile, r.impl,
                                r.pallas_chunk)
+            out = _render_coherent(c)
+            coherent_cb = c["bundle"]
+        elif from_cache:
+            c["frames"] += 1
+            coherent.n_reuses += 1
 
     for attempt in range(4):
         if coherent_cb is not None:

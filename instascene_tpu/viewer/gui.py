@@ -99,7 +99,11 @@ class SegmentationEngine:
         self._coherent = None
         if self.coherent_binning:
             from ..render import CoherentViewerBinning
-            self._coherent = CoherentViewerBinning(dilate_tiles=2)
+            # async guard: zero extra host syncs per frame (one frame may
+            # render from a stale envelope after fast motion, then rebuilds
+            # — same contract as the GUI's drop_check='async')
+            self._coherent = CoherentViewerBinning(dilate_tiles=2,
+                                                   guard="async")
 
     def reload(self) -> None:
         """Restore the model loaded at startup (reference reload_flag,

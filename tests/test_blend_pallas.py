@@ -876,7 +876,11 @@ def test_no_depth_dist_matches_xla(rng):
     assert np.allclose(np.asarray(bx.color), np.asarray(bp.color), atol=3e-4)
     assert np.allclose(np.asarray(bx.median_depth),
                        np.asarray(bp.median_depth), atol=3e-4)
-    # skipped outputs: exact zeros, not garbage (the Pallas stale-VMEM trap)
+    # skipped outputs come back exact zeros. NOTE: on CPU (interpret mode)
+    # this verifies the zrow stores write zero VALUES; the stale-VMEM class
+    # (a dropped absolute store reading garbage) only manifests on real TPU
+    # — interpret mode pre-zeroes buffers (see the round-2 NaN postmortem in
+    # docs/PERFORMANCE.md), so TPU validation of this mode still matters.
     assert np.all(np.asarray(bp.distortion) == 0.0)
     assert np.all(np.asarray(bp.depth) == 0.0)
 
