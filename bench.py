@@ -320,7 +320,11 @@ def bench_render_fps(params, make_cam, width=1920, height=1080, iters=20,
 
 
 def bench_gui_coherent_fps(params, make_cam, width=1920, height=1080,
-                           iters=20, dilate=2):
+                           iters=20, dilate=1):
+    # dilate=1: at this scene's 1-2-tile rects, dilate=2 builds a ~19M-slot
+    # cached pair list whose visit arrays exceed the kernel's SMEM scalar-
+    # prefetch budget (ops/blend_visits.VISIT_SMEM_BUDGET_BYTES) — the
+    # wrapper now rejects it with the same guidance.
     """The interactive GUI loop with the frame-coherent binning cache
     (render.CoherentViewerBinning): per frame = preprocess + containment
     check + rect-clipped pack gather + viewer kernel over the dilated

@@ -36,6 +36,28 @@ from .blend_pallas import (CHUNK, _COL, _EXT, _NRM, _OPA, _XY, _cumprod_incl,
                            _splat_terms, PallasBlendFwdOut)
 from .preprocess import FAR_N, FILTER_INV_SQUARE, NEAR_N
 
+# The five per-visit s32 arrays (tile, chunk, s0, s1, tstart) are scalar-
+# prefetched WHOLE into SMEM (1 MiB on v5e, shared with grid bookkeeping).
+# Past ~46k visits Mosaic fails with an opaque "Ran out of memory in memory
+# space smem" at compile time — fail early with the knobs that shrink the
+# visit count instead. (Measured: a dilate=2 coherent-viewer cache at 1080p
+# with 300k gaussians builds 19.2M pair slots = 158k visits = 3.03 MiB.)
+VISIT_SMEM_BUDGET_BYTES = 900 * 1024
+
+
+def _check_visit_budget(n_visits: int, interpret: bool) -> None:
+    if interpret:
+        return  # interpret mode has no SMEM; CPU parity tests run any size
+    need = 5 * 4 * n_visits
+    if need > VISIT_SMEM_BUDGET_BYTES:
+        raise ValueError(
+            f"visit layout needs {need // 1024} KiB of SMEM scalar prefetch "
+            f"({n_visits} visits x 5 s32 arrays) but the TPU budget is "
+            f"~{VISIT_SMEM_BUDGET_BYTES // 1024} KiB. Shrink the pair list: "
+            "lower dilate_tiles (a frame-coherent cache grows the pair list "
+            "~(1 + 2d/rect_tiles)^2), keep pair_cap snug, or split the "
+            "frame into tile slabs (parallel/render_sharded.py).")
+
 
 def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
                        packed_ref, *refs, tile, grid_x, num_tiles,
@@ -282,6 +304,7 @@ def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
     P, D = packed.shape
     assert P % chunk == 0, P
     V = visit_tile.shape[0]
+    _check_visit_budget(V, interpret)
     P2 = tile * tile
     OC = 12 + n_extra
 
@@ -507,6 +530,7 @@ def blend_bwd_pallas_visits(packed, gout, saved, iout, visit_tile,
     """packed [P, D] slot-major; returns d(packed) [P, rows]."""
     P, D = packed.shape
     V = visit_tile.shape[0]
+    _check_visit_budget(V, interpret)
     P2 = tile * tile
     OC = 12 + n_extra
     rows = n_extra if extras_only else D

@@ -103,8 +103,12 @@ class CoherentViewerBinning:
     frame (rasterizer_impl.cu:217-260); this is a TPU-side addition for the
     GUI loop (VERDICT round-2 item 2)."""
 
-    def __init__(self, dilate_tiles: int = 2, max_frames: int = 0,
+    def __init__(self, dilate_tiles: int = 1, max_frames: int = 0,
                  guard: str = "sync"):
+        # dilate_tiles default 1: the cached pair list grows
+        # ~(1 + 2d/rect_tiles)^2 and its visit arrays are SMEM-scalar-
+        # prefetched whole — blend_visits rejects lists past
+        # VISIT_SMEM_BUDGET_BYTES (d=2 exceeds it at 1080p/300k scale)
         self.dilate_tiles = int(dilate_tiles)
         self.max_frames = int(max_frames)  # 0 → rely on the exact guard only
         # guard resolution: "sync" fetches guard_ok after each frame (exact

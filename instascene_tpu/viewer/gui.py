@@ -101,8 +101,12 @@ class SegmentationEngine:
             from ..render import CoherentViewerBinning
             # async guard: zero extra host syncs per frame (one frame may
             # render from a stale envelope after fast motion, then rebuilds
-            # — same contract as the GUI's drop_check='async')
-            self._coherent = CoherentViewerBinning(dilate_tiles=2,
+            # — same contract as the GUI's drop_check='async'). dilate=1:
+            # the cached pair list grows ~(1 + 2d/rect_tiles)^2 and its
+            # visit arrays must fit the kernel's SMEM scalar-prefetch budget
+            # (ops/blend_visits.VISIT_SMEM_BUDGET_BYTES; d=2 exceeds it at
+            # 1080p/300k-gaussian scale)
+            self._coherent = CoherentViewerBinning(dilate_tiles=1,
                                                    guard="async")
 
     def reload(self) -> None:
