@@ -87,10 +87,23 @@ def preprocess_gaussians(
         tile: int = 16,
         alive: Optional[jnp.ndarray] = None,
         y_offset=None,                # traced ok: slab origin in pixels
-        full_height: Optional[int] = None) -> PreprocessOut:
+        full_height: Optional[int] = None,
+        opacity: Optional[jnp.ndarray] = None) -> PreprocessOut:
     """`y_offset`/`full_height`: render a horizontal slab of a
     `full_height`-tall image into local [0, height) pixel rows — the NDC
-    mapping uses the full image, the AABB/tile clamps the local slab."""
+    mapping uses the full image, the AABB/tile clamps the local slab.
+
+    `opacity` ([N] or [N,1], activated) enables opacity-aware tile culling:
+    the blend kernels skip every contribution with alpha < 1/255
+    (forward.cu:386, backward.cu:324 — matched exactly by ops/blend.py and
+    the Pallas kernels), so a gaussian with opacity o can only contribute
+    where rho <= thr(o) = 2·ln(255·o). For o < e^{4.5}/255 ≈ 0.353 that
+    level set is strictly inside the 3σ cutoff the reference bins with —
+    the tile rect shrinks to the thr-level conic AABB ∪ the thr-level
+    low-pass disk, producing strictly fewer (gaussian, tile) pairs at
+    BIT-IDENTICAL output and gradients (every culled pair fails the
+    in-kernel alpha mask). radius / valid / visibility keep the reference's
+    opacity-blind 3σ semantics so densify stats stay in parity."""
     n = xyz.shape[0]
     f32 = jnp.float32
     xyz = xyz.astype(f32)
@@ -169,11 +182,74 @@ def preprocess_gaussians(
     rmin_y = jnp.clip(jnp.floor((xy[:, 1] - ry) / tile), 0, grid_y)
     rmax_x = jnp.clip(jnp.floor((xy[:, 0] + rx + tile - 1) / tile), 0, grid_x)
     rmax_y = jnp.clip(jnp.floor((xy[:, 1] + ry + tile - 1) / tile), 0, grid_y)
-    rect_min = jnp.stack([rmin_x, rmin_y], axis=-1).astype(jnp.int32)
-    rect_max = jnp.stack([rmax_x, rmax_y], axis=-1).astype(jnp.int32)
+
+    if opacity is not None:
+        # opacity-aware culling (see docstring): shrink the box to the
+        # thr-level set, thr = 2·ln(255·o) clamped to (0.72, 9]. The
+        # contribution region is {rho3d <= thr} ∪ {rho2d <= thr}; the first
+        # is the conic AABB with t_vec (thr, thr, -1) — same derivation as
+        # the 3σ box above (forward.cu:119-145 with cutoff² = thr) but the
+        # conic "center" moves with thr, so the box is computed afresh —
+        # the second a disk of radius sqrt(thr/FILTER_INV_SQUARE) around the
+        # low-pass center xy. Numerically-degenerate lanes fall back to the
+        # 3σ box (a superset — always correct).
+        opa = jnp.clip(jnp.reshape(opacity, (-1,)).astype(f32), 1e-12, 1.0)
+        thr = jnp.clip(2.0 * jnp.log(255.0 * opa), 0.72, CUTOFF * CUTOFF)
+        d_t = jnp.sum(jnp.stack([thr, thr, -jnp.ones_like(thr)], -1)
+                      * Tw * Tw, axis=-1)
+        dt_ok = (jnp.abs(d_t) > 1e-7 * d_scale) & (d_scale > 0)
+        f_t = jnp.stack([thr, thr, -jnp.ones_like(thr)], -1) \
+            / jnp.where(dt_ok, d_t, 1.0)[:, None]
+        ctx = jnp.clip(jnp.sum(f_t * T[:, 0, :] * Tw, axis=-1), -1e7, 1e7)
+        cty = jnp.clip(jnp.sum(f_t * T[:, 1, :] * Tw, axis=-1), -1e7, 1e7)
+        h0x_t = ctx * ctx - jnp.sum(f_t * T[:, 0, :] * T[:, 0, :], axis=-1)
+        h0y_t = cty * cty - jnp.sum(f_t * T[:, 1, :] * T[:, 1, :], axis=-1)
+        ext_tx = jnp.sqrt(jnp.clip(h0x_t, 1e-4, 1e14))
+        ext_ty = jnp.sqrt(jnp.clip(h0y_t, 1e-4, 1e14))
+        ok_t = (dt_ok & jnp.isfinite(ctx) & jnp.isfinite(cty)
+                & jnp.isfinite(ext_tx) & jnp.isfinite(ext_ty) & (thr < 8.99))
+        r2d = jnp.sqrt(thr / FILTER_INV_SQUARE)
+        # 0.5-px guard absorbs f32 rounding of the conic-AABB cancellation
+        # (center² − f·T·T) and of the kernel's per-pixel rho; the tile-floor
+        # conversion must be a TRUE ceil — floor((hi + tile − 1)/tile) only
+        # equals ceil for integer operands, and these bounds are fractional
+        # (a hi of 16.95 must still include tile 1, where pixel 16 lives).
+        pad = 0.5
+        lo_x = jnp.minimum(ctx - ext_tx, xy[:, 0] - r2d) - pad
+        hi_x = jnp.maximum(ctx + ext_tx, xy[:, 0] + r2d) + pad
+        lo_y = jnp.minimum(cty - ext_ty, xy[:, 1] - r2d) - pad
+        hi_y = jnp.maximum(cty + ext_ty, xy[:, 1] + r2d) + pad
+        # intersect with the 3σ rect: guarantees tiles ⊆ the reference's
+        # binning (strictly fewer pairs) and keeps degenerate-lane fallbacks
+        # exact. ok_t=False lanes keep the 3σ rect.
+        cmin_x = jnp.maximum(rmin_x, jnp.clip(jnp.floor(lo_x / tile),
+                                              0, grid_x))
+        cmin_y = jnp.maximum(rmin_y, jnp.clip(jnp.floor(lo_y / tile),
+                                              0, grid_y))
+        cmax_x = jnp.minimum(rmax_x, jnp.clip(jnp.floor(hi_x / tile) + 1,
+                                              0, grid_x))
+        cmax_y = jnp.minimum(rmax_y, jnp.clip(jnp.floor(hi_y / tile) + 1,
+                                              0, grid_y))
+        b_rmin_x = jnp.where(ok_t, cmin_x, rmin_x)
+        b_rmin_y = jnp.where(ok_t, cmin_y, rmin_y)
+        b_rmax_x = jnp.where(ok_t, jnp.maximum(cmax_x, cmin_x), rmax_x)
+        b_rmax_y = jnp.where(ok_t, jnp.maximum(cmax_y, cmin_y), rmax_y)
+    else:
+        b_rmin_x, b_rmin_y = rmin_x, rmin_y
+        b_rmax_x, b_rmax_y = rmax_x, rmax_y
+
+    rect_min = jnp.stack([b_rmin_x, b_rmin_y], axis=-1).astype(jnp.int32)
+    rect_max = jnp.stack([b_rmax_x, b_rmax_y], axis=-1).astype(jnp.int32)
     tiles = (rect_max[:, 0] - rect_min[:, 0]) * (rect_max[:, 1] - rect_min[:, 1])
 
-    valid = in_frustum & d_ok & finite & (tiles > 0)
+    # radius / valid keep the reference's opacity-blind semantics: tiles9 is
+    # the 3σ box's tile count, so visibility_filter / radii / densify-stats
+    # denominators match the CUDA reference even when the culled rect is
+    # empty (such gaussians contribute nothing and carry zero grads there
+    # too — they are binned-but-masked in the reference).
+    tiles9 = (rmax_x - rmin_x) * (rmax_y - rmin_y)
+
+    valid = in_frustum & d_ok & finite & (tiles9 > 0)
     if alive is not None:
         valid = valid & alive
     tiles_touched = jnp.where(valid, tiles, 0).astype(jnp.int32)

@@ -71,6 +71,13 @@ class RasterizeConfig:
     # path (the CPU/test backend, where the traced lambda_dist scalar keeps
     # the chains live but throughput is not the goal).
     no_depth_dist: bool = False
+    # opacity-aware tile culling (ops/preprocess.py docstring): bin only the
+    # tiles where alpha >= 1/255 is reachable. Bit-identical output and
+    # gradients (the kernels mask alpha < 1/255 exactly as forward.cu:386 /
+    # backward.cu:324); strictly fewer pairs for opacity < ~0.353 — large
+    # wins early in geometry training (init 0.1) and after opacity resets
+    # (0.01). radii/visibility keep opacity-blind reference semantics.
+    opacity_cull: bool = True
 
     def resolved(self, n: int) -> "RasterizeConfig":
         # auto caps are deliberately tight — the sort is O(pair_cap); callers
@@ -94,7 +101,7 @@ class RasterizeConfig:
                                pair_cap, tile_cap, self.track_contrib, impl,
                                self.bwd_extras_only, self.pallas_chunk,
                                self.fwd_viewer, self.clip_rect,
-                               self.no_depth_dist)
+                               self.no_depth_dist, self.opacity_cull)
 
 
 def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
@@ -207,7 +214,8 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
     pre = preprocess_gaussians(
         means3d, scales, rotations, w2v, full_proj, campos, width, height,
         color=colors, shs=shs, sh_degree=sh_degree, tile=cfg.tile, alive=alive,
-        y_offset=y_offset, full_height=full_height)
+        y_offset=y_offset, full_height=full_height,
+        opacity=opacities if cfg.opacity_cull else None)
     guard_ok = None
     if coherent_guard is not None:
         dil_min, dil_max, need0 = coherent_guard
@@ -357,10 +365,10 @@ def densify_screen_grad(t_grad: jnp.ndarray, depth: jnp.ndarray,
                                    "dilate_tiles"))
 def _binning_cache_impl(xyz, scales, rotations, alive, w2v, full_proj, campos,
                         width, height, tile, pair_cap, tile_cap, layout,
-                        align=128, dilate_tiles=0):
+                        align=128, dilate_tiles=0, opacity=None):
     pre = preprocess_gaussians(xyz, scales, rotations, w2v, full_proj, campos,
                                width, height, color=xyz * 0.0, tile=tile,
-                               alive=alive)
+                               alive=alive, opacity=opacity)
     b = bin_gaussians(pre, width, height, pair_cap, tile_cap, tile=tile,
                       layout=layout, align=align, dilate_tiles=dilate_tiles)
     if layout == "visits":
@@ -390,11 +398,15 @@ def _binning_cache_impl(xyz, scales, rotations, alive, w2v, full_proj, campos,
 def compute_binning_cache(params, cam: CameraMats, width: int, height: int,
                           tile: int = 16, pair_cap: int = 0,
                           tile_cap: int = 0, impl: str = "auto",
-                          pallas_chunk: int = 128, dilate_tiles: int = 0):
+                          pallas_chunk: int = 128, dilate_tiles: int = 0,
+                          opacity_cull: bool = True):
     """Precompute the frozen-geometry binning for one camera. Returns
     (cache_tuple, tile_count, n_dropped); pass cache_tuple as
     rasterize(..., cached_binning=...). dilate_tiles expands every rect for
-    the frame-coherent viewer cache (render.CoherentViewerBinning)."""
+    the frame-coherent viewer cache (render.CoherentViewerBinning).
+    opacity_cull must match the consuming RasterizeConfig so cached and
+    fresh pair lists agree slot-for-slot (either way is output-exact — the
+    kernels re-mask — but n_contrib slot numbering follows the list)."""
     n = params.capacity
     cfg = RasterizeConfig(width=width, height=height, tile=tile,
                           pair_cap=pair_cap, tile_cap=tile_cap,
@@ -404,4 +416,5 @@ def compute_binning_cache(params, cam: CameraMats, width: int, height: int,
         params.xyz, params.scaling_activated(), params.rotation_normalized(),
         params.alive, cam.w2v, cam.full_proj, cam.campos,
         cfg.width, cfg.height, cfg.tile, cfg.pair_cap, cfg.tile_cap, layout,
-        align=cfg.pallas_chunk, dilate_tiles=dilate_tiles)
+        align=cfg.pallas_chunk, dilate_tiles=dilate_tiles,
+        opacity=params.opacity_activated() if opacity_cull else None)

@@ -65,11 +65,11 @@ from functools import partial as _partial
 
 @_partial(jax.jit, static_argnames=("width", "height", "tile"))
 def _coherent_rects(xyz, scales, rotations, alive, w2v, full_proj, campos,
-                    width, height, tile):
+                    width, height, tile, opacity=None):
     from .ops.preprocess import preprocess_gaussians
     pre = preprocess_gaussians(xyz, scales, rotations, w2v, full_proj, campos,
                                width, height, color=xyz * 0.0, tile=tile,
-                               alive=alive)
+                               alive=alive, opacity=opacity)
     return pre.rect_min, pre.rect_max, pre.tiles_touched > 0
 
 
@@ -134,7 +134,8 @@ class CoherentViewerBinning:
         freed array's address can never be reused into a false hit): jax
         arrays are immutable, so `is`-equality of the geometry fields means
         the binning inputs are unchanged."""
-        arrs = (p.xyz, p.scaling, p.rotation, getattr(p, "alive", None))
+        arrs = (p.xyz, p.scaling, p.rotation, p.opacity,
+                getattr(p, "alive", None))
         shape = (width, height, tile)
         c = self._cache
         if (c is not None and c["shape"] == shape
@@ -152,7 +153,8 @@ class CoherentViewerBinning:
         from .ops.rasterize import RasterizeConfig as _RC
         from .ops.rasterize import compute_binning_cache
 
-        arrs = (p.xyz, p.scaling, p.rotation, getattr(p, "alive", None))
+        arrs = (p.xyz, p.scaling, p.rotation, p.opacity,
+                getattr(p, "alive", None))
         n = p.capacity
         pair_cap = self._pair_cap
         for _ in range(8):
@@ -172,7 +174,7 @@ class CoherentViewerBinning:
         rmin, rmax, need0 = _coherent_rects(
             p.xyz, p.scaling_activated(), p.rotation_normalized(),
             getattr(p, "alive", None), cam.w2v, cam.full_proj, cam.campos,
-            width, height, tile)
+            width, height, tile, opacity=p.opacity_activated())
         dmin, dmax, _ = dilate_rects(rmin, rmax, need0.astype(jnp.int32),
                                      grid_x, grid_y, self.dilate_tiles)
         self._cache = {"arrs": arrs, "shape": (width, height, tile),

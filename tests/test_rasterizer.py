@@ -362,3 +362,57 @@ def test_forward_matches_committed_goldens():
                 np.asarray(got), g[key], atol=2e-5, rtol=1e-4,
                 err_msg=f"{impl}:{key} drifted from golden")
         assert np.array_equal(np.asarray(b.n_contrib), g["n_contrib"]), impl
+
+
+def test_opacity_cull_exact(scene):
+    """Opacity-aware tile culling (RasterizeConfig.opacity_cull) must be
+    bit-preserving: every pair it removes fails the in-kernel alpha >= 1/255
+    mask (forward.cu:386 parity), so forward maps AND gradients match the
+    uncull'd render exactly while the (gaussian, tile) pair count drops."""
+    cam, g = scene
+    xyz, scales, rots, _, color, extra = g
+    rng2 = np.random.default_rng(7)
+    # heavy low-opacity population (geometry init is 0.1; resets go to 0.01)
+    opac = np.concatenate([
+        rng2.uniform(0.01, 0.3, xyz.shape[0] - 10),
+        rng2.uniform(0.5, 0.95, 10)]).astype(np.float32)
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+
+    outs, pairs = {}, {}
+    for cull in (False, True):
+        cfg = RasterizeConfig(width=W, height=H, chunk=16, pair_cap=4096,
+                              tile_cap=64, opacity_cull=cull)
+
+        def loss(xyz_, scales_, rots_, opac_, color_, extra_):
+            o = rasterize(xyz_, scales_, rots_, opac_, cm, bg, cfg,
+                          colors=color_, extras=extra_)
+            b = o.blend
+            s = (jnp.sum(b.color * 0.7) + jnp.sum(b.depth * 0.3)
+                 + jnp.sum(b.normal * 0.1) + jnp.sum(b.distortion * 0.2)
+                 + jnp.sum(b.extra * 0.05) + jnp.sum(b.alpha))
+            return s, o
+
+        (v, o), gr = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5),
+                                        has_aux=True)(
+            jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(rots),
+            jnp.asarray(opac), jnp.asarray(color), jnp.asarray(extra))
+        assert int(o.n_dropped) == 0
+        outs[cull] = (v, o, gr)
+        pairs[cull] = int(o.total_pairs)
+
+    v0, o0, g0 = outs[False]
+    v1, o1, g1 = outs[True]
+    assert pairs[True] < pairs[False], pairs  # culling must actually cull
+    assert np.array_equal(np.asarray(o0.radii), np.asarray(o1.radii))
+    assert np.array_equal(np.asarray(o0.visible), np.asarray(o1.visible))
+    for k in ("color", "depth", "alpha", "normal", "median_depth",
+              "distortion", "extra", "final_T"):
+        a = np.asarray(getattr(o0.blend, k))
+        b = np.asarray(getattr(o1.blend, k))
+        assert np.allclose(a, b, atol=1e-6), (k, np.abs(a - b).max())
+    assert np.allclose(float(v0), float(v1), atol=1e-6)
+    for ga, gb in zip(g0, g1):
+        assert np.allclose(np.asarray(ga), np.asarray(gb), atol=1e-5), \
+            np.abs(np.asarray(ga) - np.asarray(gb)).max()
