@@ -12,15 +12,7 @@ from typing import List, Optional
 import numpy as np
 
 from ..render import render
-
-
-def focus_point_fn(poses: np.ndarray) -> np.ndarray:
-    """Least-squares focus point of camera optical axes
-    (render_utils.py parity)."""
-    directions, origins = poses[:, :3, 2:3], poses[:, :3, 3:4]
-    m = np.eye(3) - directions * np.transpose(directions, [0, 2, 1])
-    mt_m = np.transpose(m, [0, 2, 1]) @ m
-    return np.squeeze(np.linalg.inv(mt_m.mean(0)) @ (mt_m @ origins).mean(0))
+from ..viewer.render_paths import focus_point_fn  # noqa: F401 (re-export)
 
 
 def post_process_mesh(verts: np.ndarray, faces: np.ndarray,

@@ -35,6 +35,32 @@ def test_ellipse_path_and_minicams():
     assert np.isfinite(cams[0].full_proj).all()
 
 
+def test_focus_point_and_pca_recenter():
+    """focus_point_fn minimizes summed ray distance; transform_poses_pca
+    recenters into the unit cube with a consistent [4,4] transform."""
+    from instascene_tpu.data.synthetic import look_at
+    from instascene_tpu.viewer.render_paths import (focus_point_fn, pad_poses,
+                                                    transform_poses_pca)
+    poses = []
+    for i in range(12):
+        ang = 2 * np.pi * i / 12
+        pos = np.array([3 * np.cos(ang), 3 * np.sin(ang), 1.0])
+        R_w2c, t = look_at(pos, np.zeros(3))
+        c2w = np.eye(4)
+        c2w[:3, :3] = R_w2c.T
+        c2w[:3, 3] = pos
+        poses.append(c2w[:3])
+    poses = np.stack(poses)
+    # all optical axes pass through the origin -> focus point is the origin
+    assert np.allclose(focus_point_fn(poses), 0.0, atol=1e-8)
+    rec, T = transform_poses_pca(poses)
+    assert np.abs(rec[:, :3, 3]).max() <= 1.0 + 1e-9
+    # transform really maps input poses onto the recentered ones
+    assert np.allclose(rec, (T @ pad_poses(poses))[:, :3], atol=1e-9)
+    # average camera up ends with a positive world-z component
+    assert rec[:, :3, 1].mean(axis=0)[2] > 0
+
+
 def test_render_video(tmp_path):
     from scene_builder import make_blob_gaussians
 
