@@ -22,6 +22,27 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (e2e training pipelines); "
+        "deselect with -m 'not slow'")
+    config.addinivalue_line(
+        "markers", "fast: cheap unit/oracle test; select with -m fast "
+        "for a quick correctness gate")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: everything in test_train_e2e.py (and anything
+    explicitly marked slow) is the slow tier; the rest is the fast
+    oracle/unit gate. `pytest -m fast` is the cheap pre-commit gate,
+    `pytest -m slow` the e2e tier, plain `pytest` runs both."""
+    for item in items:
+        if "test_train_e2e" in item.nodeid or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

@@ -334,6 +334,7 @@ def test_fuzz_pallas_vs_xla(seed):
         assert np.abs(va - vb).max() / denom < 5e-3, (seed, nm)
 
 
+@pytest.mark.slow  # >45s single-core; out of the fast gate
 def test_select_tiles_bundle_matches_full(rng):
     """Rendering through a tile-subset mini bundle must reproduce the full
     render exactly on the selected tiles (gradients included)."""
@@ -551,6 +552,7 @@ def test_bwd_extras_only_mode(rng):
     assert np.abs(a).max() > 0
 
 
+@pytest.mark.slow  # >45s single-core; out of the fast gate
 def test_pallas_chunk256_matches_chunk128(rng):
     """pallas_chunk=256 must be numerically identical to the default 128."""
     from instascene_tpu.cameras import Camera

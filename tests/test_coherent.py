@@ -13,6 +13,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -60,6 +61,7 @@ def _assert_frames_equal(pkg_a, pkg_b, keys=("render", "rend_alpha",
                                    rtol=2e-6, atol=2e-6, err_msg=k)
 
 
+@pytest.mark.slow  # >45s single-core; out of the fast gate
 def test_coherent_viewer_binning_exact_and_invalidates():
     # 16x12 tile grid: the ±1-tile dilation is a real envelope (at tiny
     # grids the clamped dilation covers the whole screen and the cache
@@ -101,6 +103,7 @@ def test_coherent_viewer_binning_exact_and_invalidates():
     assert coh.n_builds > builds_before, "zoom past the envelope must rebuild"
 
 
+@pytest.mark.slow  # >45s single-core; out of the fast gate
 def test_coherent_full_kernel_mode_and_param_change():
     """The cache also serves the full kernel (GUI aux modes: depth/normal),
     and a gaussian-set edit (crop/delete) rebuilds via array identity."""

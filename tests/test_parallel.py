@@ -149,6 +149,7 @@ def test_dp_semantic_step_8way(rng):
     assert moved > 0
 
 
+@pytest.mark.slow  # >45s single-core; out of the fast gate
 def test_dp_geometry_trainer_e2e(tmp_path):
     """train.py --dp 8 as a product capability: the GeometryTrainer drives
     the full DP step (complete loss structure, densify/prune + capacity
@@ -184,6 +185,7 @@ def test_dp_geometry_trainer_e2e(tmp_path):
     assert after["psnr"] > before["psnr"] + 2.0, (before, after)
 
 
+@pytest.mark.slow  # >45s single-core; out of the fast gate
 def test_dp_cli_flag(tmp_path):
     """`train.py --dp 8` end-to-end through the CLI entry point."""
     import os
