@@ -69,7 +69,9 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
     from instascene_tpu.models.optimizer import init_adam_state, semantic_lrs
     from instascene_tpu.ops.rasterize import RasterizeConfig
     from instascene_tpu.pipelines.train import camera_tensors
-    from instascene_tpu.pipelines.train_semantic import semantic_train_step
+    from instascene_tpu.pipelines.train_semantic import (
+        SemanticCamera, SemanticHypers, SemanticMVBlock, SemanticStepConfig,
+        semantic_train_step)
 
     rng = np.random.default_rng(1)
     cams = [camera_tensors(make_cam(i, width, height)) for i in range(6)]
@@ -79,11 +81,7 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
     lrs = semantic_lrs(opt)
     key = jax.random.PRNGKey(0)
     n_mv = 5
-    zeros_mv = (jnp.zeros((n_mv, 4, 4)), jnp.zeros((n_mv, 4, 4)),
-                jnp.zeros((n_mv, 3)),
-                jnp.zeros((n_mv, height, width), jnp.int32))
     lab3d = jnp.asarray(rng.integers(0, 40, params.capacity).astype(np.int32))
-    cf = jnp.zeros((64, 16))
 
     # frozen-geometry binning cache with the trainer's snug-cap sizing
     # (SegSplatting._precompute_binning): probe true totals, cap at 1.1x —
@@ -105,35 +103,35 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
             width, height, pair_cap=snug_cap)
         assert int(nd) == 0, "snug cap dropped pairs"
         cache.append(cb)
-    mv_cb = tuple(jnp.zeros((n_mv,) + a.shape, jnp.int32) for a in cache[0])
     # per-camera valid-index sampler packs (as the semantic trainer does)
     from instascene_tpu.semantic.contrastive import valid_ids_pack
     seg_cs = valid_ids_pack(segmap.reshape(-1) > 0)
     vis_cs = valid_ids_pack(lab3d > 0)
 
-    bg = jnp.zeros(3)
-    lam = (jnp.float32(1e-6), jnp.float32(0.0), jnp.float32(2.5e-6))
+    scfg = SemanticStepConfig(raster=cfg, batch=32 * 1024, max_labels=64)
+    hyp = SemanticHypers(bg=jnp.zeros(3), lrs=lrs,
+                         lam_sv=jnp.float32(1e-6), lam_mv=jnp.float32(1e-6),
+                         lam_3d=jnp.float32(2.5e-6), seg3d_labels=lab3d)
+    bundles = [SemanticCamera(
+        w2v=ct.w2v, full_proj=ct.full_proj, campos=ct.campos, segmap=segmap,
+        sorted_segmap=segmap, binning=cache[i], seg_samp=seg_cs,
+        sorted_samp=seg_cs, vis3d_samp=vis_cs)
+        for i, ct in enumerate(cams)]
 
     def one(i, p, s, k):
-        ct = cams[i % len(cams)]
         k, sub = jax.random.split(k)
         p, s, loss, _ = semantic_train_step(
-            p, s, sub, ct.w2v, ct.full_proj, ct.campos, segmap, segmap,
-            *zeros_mv, lab3d, cf, bg, lrs,
-            *lam, cfg, 32 * 1024, 64, False, False, False, n_mv,
-            cached_binning=cache[i % len(cams)], mv_cached_binning=mv_cb,
-            has_sampler=True, seg_samp=seg_cs, sorted_samp=seg_cs,
-            vis3d_samp=vis_cs)
+            p, s, sub, bundles[i % len(cams)], None, hyp, scfg)
         return p, s, k, loss
 
     # real multi-view inputs (views 1..5) for the every-10th-iter MV step
-    mv_real_cb = tuple(jnp.stack([cache[v][f] for v in range(1, 1 + n_mv)])
-                       for f in range(len(cache[0])))
-    mv_w2v = jnp.stack([cams[v].w2v for v in range(1, 1 + n_mv)])
-    mv_fp = jnp.stack([cams[v].full_proj for v in range(1, 1 + n_mv)])
-    mv_cp = jnp.stack([cams[v].campos for v in range(1, 1 + n_mv)])
-    mv_seg = jnp.stack([segmap] * n_mv)
-    lam_mv = jnp.float32(1e-6)
+    mv_real_cb = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[cache[v] for v in range(1, 1 + n_mv)])
+    mv_common = dict(
+        w2v=jnp.stack([cams[v].w2v for v in range(1, 1 + n_mv)]),
+        full_proj=jnp.stack([cams[v].full_proj for v in range(1, 1 + n_mv)]),
+        campos=jnp.stack([cams[v].campos for v in range(1, 1 + n_mv)]),
+        segmaps=jnp.stack([segmap] * n_mv), binning=mv_real_cb)
 
     num_tiles = ((width + 15) // 16) * ((height + 15) // 16)
     mv_k = 128
@@ -143,17 +141,11 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
         for _ in range(n_mv)]))
 
     def one_mv(i, p, s, k, tile_sub=0):
-        ct = cams[i % len(cams)]
         k, sub = jax.random.split(k)
+        mv = SemanticMVBlock(**mv_common,
+                             sel_tiles=sel if tile_sub else None)
         p, s, loss, _ = semantic_train_step(
-            p, s, sub, ct.w2v, ct.full_proj, ct.campos, segmap, segmap,
-            mv_w2v, mv_fp, mv_cp, mv_seg, lab3d, cf, bg, lrs,
-            lam[0], lam_mv, lam[2], cfg, 32 * 1024, 64, False, False,
-            True, n_mv,
-            cached_binning=cache[i % len(cams)], mv_cached_binning=mv_real_cb,
-            has_sampler=True, seg_samp=seg_cs, sorted_samp=seg_cs,
-            vis3d_samp=vis_cs, mv_tile_count=tile_sub,
-            mv_sel_tiles=sel if tile_sub else None)
+            p, s, sub, bundles[i % len(cams)], mv, hyp, scfg)
         return p, s, k, loss
 
     # compile + warm-up: the first ~5 executions of a fresh program run ~20x
@@ -199,7 +191,8 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20):
     return 1.0 / t_norm, blend(t_mv), blend(t_mv_sub)
 
 
-def bench_geometry(params, make_cam, width=976, height=728, iters=10):
+def bench_geometry(params, make_cam, width=976, height=728, iters=10,
+                   dist=False):
     import jax
     import jax.numpy as jnp
 
@@ -233,19 +226,24 @@ def bench_geometry(params, make_cam, width=976, height=728, iters=10):
     snug = max(gran, (hiwater * 110 // 100 + gran - 1) // gran * gran)
     # no_depth_dist: lambda_dist == 0 is the reference default, so default
     # training never reads rend_dist — the trainer's _cfg skips the kernels'
-    # distortion machinery at compile time; the bench models the same
+    # distortion machinery at compile time; the bench models the same.
+    # dist=True models the 2DGS bounded-scene recipe instead
+    # (--lambda_dist 100, depth_ratio 0 → full distortion + expected-depth
+    # kernels), so the non-default path has a stated rate too.
     cfg = RasterizeConfig(width=width, height=height, pair_cap=snug,
-                          no_depth_dist=True)
+                          no_depth_dist=not dist)
+    depth_ratio = 0.0 if dist else 1.0
     dummy = jnp.zeros(1)
     bg = jnp.zeros(3)
-    lam = tuple(jnp.float32(v) for v in (0.2, 0.0, 0.05, 0.0))
+    lam = tuple(jnp.float32(v) for v in
+                (0.2, 100.0 if dist else 0.0, 0.05, 0.0))
 
     def one(i, p, o, s):
         ct = cams[i % len(cams)]
         return train_step(p, o, s, ct.w2v, ct.full_proj, ct.campos,
                           ct.c2w_rot, gt, dummy, dummy, bg, lrs,
                           *lam, cfg, ct.tanfovx, ct.tanfovy,
-                          1.0, False)
+                          depth_ratio, False)
 
     p, o, s, m = one(0, params, opt_state, stats)
     float(m["loss"])
@@ -467,6 +465,12 @@ def main():
             bench_geometry(params, make_cam), 3)
     except Exception as e:
         extra["geometry_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
+        # the 2DGS bounded-scene recipe (--lambda_dist 100, depth_ratio 0)
+        extra["geometry_train_dist_its"] = round(
+            bench_geometry(params, make_cam, dist=True), 3)
+    except Exception as e:
+        extra["geometry_dist_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         extra["render_1080p_fps"] = round(
             bench_render_fps(params, make_cam), 2)

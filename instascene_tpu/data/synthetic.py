@@ -37,8 +37,15 @@ def look_at(cam_pos: np.ndarray, target: np.ndarray,
 def make_synthetic_scene(out_dir: str, n_points: int = 500, n_cams: int = 6,
                          width: int = 64, height: int = 48,
                          radius: float = 4.0, seed: int = 0,
-                         write_images: bool = True):
-    """Create a COLMAP scene dir. Returns (xyz, rgb, cam_params list)."""
+                         write_images: bool = True,
+                         camera_model: str = "PINHOLE"):
+    """Create a COLMAP scene dir. Returns (xyz, rgb, cam_params list).
+
+    camera_model picks the intrinsics record layout — any of the four
+    models the reader supports (reference dataset_readers.py:87-97:
+    SIMPLE_PINHOLE/SIMPLE_RADIAL use params[0] as the single focal,
+    PINHOLE/OPENCV carry fx, fy; trailing distortion params are ignored
+    by the undistorted-dataset contract)."""
     rng = np.random.default_rng(seed)
     sparse = os.path.join(out_dir, "sparse/0")
     os.makedirs(sparse, exist_ok=True)
@@ -48,8 +55,15 @@ def make_synthetic_scene(out_dir: str, n_points: int = 500, n_cams: int = 6,
     rgb = rng.integers(0, 256, (n_points, 3)).astype(np.uint8)
 
     focal = fov2focal(0.9, width)
-    cameras = {1: ColmapCamera(1, "PINHOLE", width, height,
-                               np.array([focal, focal, width / 2, height / 2]))}
+    cx, cy = width / 2, height / 2
+    params = {
+        "SIMPLE_PINHOLE": [focal, cx, cy],
+        "PINHOLE": [focal, focal, cx, cy],
+        "SIMPLE_RADIAL": [focal, cx, cy, 0.0],
+        "OPENCV": [focal, focal, cx, cy, 0.0, 0.0, 0.0, 0.0],
+    }[camera_model]
+    cameras = {1: ColmapCamera(1, camera_model, width, height,
+                               np.array(params, np.float64))}
     images = {}
     cam_list = []
     for i in range(n_cams):

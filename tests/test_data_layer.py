@@ -276,3 +276,69 @@ def test_native_parser_rejects_overflowing_lengths():
     buf += struct.pack("<Q", 0xFFFFFFFFFFFFFFF0)   # hostile track_len
     buf += b"\x00" * 64
     assert points3d_parse_native(buf) is None
+
+
+@pytest.mark.parametrize("model", ["SIMPLE_PINHOLE", "PINHOLE",
+                                   "SIMPLE_RADIAL", "OPENCV"])
+def test_camera_models_through_reader(tmp_path, model):
+    """All four COLMAP camera models of reference dataset_readers.py:87-97
+    flow through the binary parser, FOV derivation and load_camera's
+    resolution rules (-1 auto-cap no-op below 1600, -r 2 halving)."""
+    from instascene_tpu.cameras import focal2fov, fov2focal, load_camera
+    from instascene_tpu.data.synthetic import make_synthetic_scene
+
+    W, H = 64, 48
+    src = str(tmp_path / model.lower())
+    make_synthetic_scene(src, n_points=50, n_cams=2, width=W, height=H,
+                         camera_model=model)
+    info = read_colmap_scene(src, "images", False)
+    assert len(info.train_cameras) == 2
+    ci = info.train_cameras[0]
+    focal = fov2focal(0.9, W)
+    assert np.isclose(ci.FovX, 0.9)
+    assert np.isclose(ci.FovY, focal2fov(focal, H))
+
+    args = ModelParams(source_path=src)  # resolution -1: W < 1600, no-op
+    cam = load_camera(args, 0, ci)
+    assert (cam.width, cam.height) == (W, H)
+    assert cam.image.shape == (H, W, 3)
+    args2 = ModelParams(source_path=src, resolution=2)
+    cam2 = load_camera(args2, 0, ci)
+    assert (cam2.width, cam2.height) == (W // 2, H // 2)
+    assert cam2.image.shape == (H // 2, W // 2, 3)
+
+
+def test_camera_model_with_priors_and_segmap(tmp_path):
+    """SIMPLE_RADIAL scene with a normal prior + segmap: load_camera resizes
+    the label map NEAREST (ids preserved, no interpolation) and rotates the
+    normal prior into world frame as unit-ish vectors."""
+    from PIL import Image
+
+    from instascene_tpu.cameras import load_camera
+    from instascene_tpu.data.synthetic import make_synthetic_scene
+
+    W, H = 64, 48
+    src = str(tmp_path / "scene")
+    make_synthetic_scene(src, n_points=50, n_cams=2, width=W, height=H,
+                         camera_model="SIMPLE_RADIAL")
+    os.makedirs(os.path.join(src, "sam/mask"))
+    os.makedirs(os.path.join(src, "normals"))
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 7, (H, W)).astype(np.uint8)
+    for name in ("img_000.png", "img_001.png"):
+        Image.fromarray(labels).save(os.path.join(src, "sam/mask", name))
+        npix = rng.random((H, W, 3)).astype(np.float32)
+        npix /= np.linalg.norm(npix, axis=-1, keepdims=True)
+        Image.fromarray((255 * (npix * 0.5 + 0.5)).astype(np.uint8)).save(
+            os.path.join(src, "normals", name))
+
+    info = read_colmap_scene(src, "images", False)
+    args = ModelParams(source_path=src, resolution=2,
+                       w_normal_prior="normals", use_seg_feature=True)
+    cam = load_camera(args, 0, info.train_cameras[0])
+    assert cam.segmap is not None and cam.segmap.shape == (H // 2, W // 2)
+    # NEAREST: every resized label exists in the source label set
+    assert set(np.unique(cam.segmap)) <= set(np.unique(labels).tolist())
+    assert cam.normal is not None and cam.normal.shape == (H // 2, W // 2, 3)
+    norms = np.linalg.norm(cam.normal, axis=-1)
+    assert norms.max() < 1.2 and norms.min() > 0.3  # unit-ish after 8-bit png

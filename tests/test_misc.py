@@ -363,3 +363,28 @@ def test_adapt_caps_post_densify_resnug():
     # one-time: no further shrink even if totals fall
     adapt(t, m(200_000), iteration=t.opt.densify_until_iter + 51)
     assert t._pair_cap == expect
+
+
+def test_cfg_auto_selects_no_depth_dist():
+    """GeometryTrainer._cfg compile-time-drops the distortion/expected-depth
+    kernel machinery exactly when nothing reads it: lambda_dist == 0 (the
+    reference default, arguments/__init__.py:108) AND depth_ratio == 1
+    (median-only surf depth). Any explicit user override wins."""
+    import types
+
+    from instascene_tpu.pipelines.train import GeometryTrainer
+
+    cam = types.SimpleNamespace(width=64, height=48)
+    stub = lambda ratio, opts=None: types.SimpleNamespace(
+        rasterize_opts=opts or {}, _pair_cap=0,
+        pipe=types.SimpleNamespace(depth_ratio=ratio))
+    # default config: skip at compile time
+    assert GeometryTrainer._cfg(stub(1.0), cam, lam_dist=0.0).no_depth_dist
+    # dist loss on (2DGS bounded recipe --lambda_dist 100): keep machinery
+    assert not GeometryTrainer._cfg(stub(1.0), cam,
+                                    lam_dist=100.0).no_depth_dist
+    # expected-depth surf blend (depth_ratio 0) reads the depth accumulators
+    assert not GeometryTrainer._cfg(stub(0.0), cam, lam_dist=0.0).no_depth_dist
+    # explicit override is never second-guessed
+    assert not GeometryTrainer._cfg(
+        stub(1.0, {"no_depth_dist": False}), cam, lam_dist=0.0).no_depth_dist
