@@ -23,7 +23,10 @@ def main():
     from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
                                               compute_binning_cache)
     from instascene_tpu.pipelines.train import camera_tensors
-    from instascene_tpu.pipelines.train_semantic import semantic_train_step
+    from instascene_tpu.pipelines.train_semantic import (
+        SemanticCamera, SemanticHypers, SemanticMVBlock, SemanticStepConfig,
+        semantic_train_step)
+    from instascene_tpu.semantic.contrastive import valid_ids_pack
 
     width, height = 976, 728
     params, make_cam = make_bench_scene(n=300_000)
@@ -37,21 +40,30 @@ def main():
     key = jax.random.PRNGKey(0)
     n_mv = 5
     lab3d = jnp.asarray(rng.integers(0, 40, params.capacity).astype(np.int32))
-    cf = jnp.zeros((64, 16))
     cache = []
     for ct in cams:
         cb, tc, nd = compute_binning_cache(
             params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
             width, height)
         cache.append(cb)
-    mv_cb = tuple(jnp.stack([cache[v][f] for v in range(1, 1 + n_mv)])
-                  for f in range(len(cache[0])))
-    mv_w2v = jnp.stack([cams[v].w2v for v in range(1, 1 + n_mv)])
-    mv_fp = jnp.stack([cams[v].full_proj for v in range(1, 1 + n_mv)])
-    mv_cp = jnp.stack([cams[v].campos for v in range(1, 1 + n_mv)])
-    mv_seg = jnp.stack([segmap] * n_mv)
-    seg_cs = jnp.cumsum((segmap.reshape(-1) > 0).astype(jnp.int32))
-    vis_cs = jnp.cumsum((lab3d > 0).astype(jnp.int32))
+    seg_cs = valid_ids_pack(segmap.reshape(-1) > 0)
+    vis_cs = valid_ids_pack(lab3d > 0)
+    scfg = SemanticStepConfig(raster=cfg, batch=32 * 1024, max_labels=64)
+    hyp = SemanticHypers(bg=jnp.zeros(3), lrs=lrs, lam_sv=jnp.float32(1e-6),
+                         lam_mv=jnp.float32(1e-6),
+                         lam_3d=jnp.float32(2.5e-6), seg3d_labels=lab3d,
+                         class_feat=jnp.zeros((64, 16)))
+    cam0 = SemanticCamera(
+        w2v=cams[0].w2v, full_proj=cams[0].full_proj, campos=cams[0].campos,
+        segmap=segmap, sorted_segmap=segmap, binning=cache[0],
+        seg_samp=seg_cs, sorted_samp=seg_cs, vis3d_samp=vis_cs)
+    mv_block = SemanticMVBlock(
+        w2v=jnp.stack([cams[v].w2v for v in range(1, 1 + n_mv)]),
+        full_proj=jnp.stack([cams[v].full_proj for v in range(1, 1 + n_mv)]),
+        campos=jnp.stack([cams[v].campos for v in range(1, 1 + n_mv)]),
+        segmaps=jnp.stack([segmap] * n_mv),
+        binning=jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[cache[v] for v in range(1, 1 + n_mv)]))
 
     def run(do_mv):
         p, s, k = params, opt_state, key
@@ -59,13 +71,7 @@ def main():
         def one(p, s, k):
             k, sub = jax.random.split(k)
             p, s, loss, _ = semantic_train_step(
-                p, s, sub, cams[0].w2v, cams[0].full_proj, cams[0].campos,
-                segmap, segmap, mv_w2v, mv_fp, mv_cp, mv_seg, lab3d, cf,
-                jnp.zeros(3), lrs, 1e-6, 1e-6 if do_mv else 0.0, 2.5e-6,
-                cfg, 32 * 1024, 64, False, True, do_mv, n_mv,
-                cached_binning=cache[0], mv_cached_binning=mv_cb,
-                has_csums=True, seg_csum=seg_cs, sorted_csum=seg_cs,
-                vis3d_csum=vis_cs)
+                p, s, sub, cam0, mv_block if do_mv else None, hyp, scfg)
             return p, s, k, loss
 
         p, s, k, loss = one(p, s, k)

@@ -360,6 +360,25 @@ def densify_screen_grad(t_grad: jnp.ndarray, depth: jnp.ndarray,
     return jnp.stack([gx, gy], axis=-1)
 
 
+class VisitBinningCache(NamedTuple):
+    """Typed frozen-geometry binning cache, visit layout (one camera).
+
+    A NamedTuple, so it still satisfies the length-10 `cached_binning`
+    tuple protocol of _rasterize_impl while giving callers named fields
+    (the semantic trainer's MV tile-subsample path reads sorted_gid +
+    tile_bounds by name instead of positional arity checks)."""
+    sorted_gid: jnp.ndarray     # [pair_cap] gaussian id per sorted slot
+    visit_chunk: jnp.ndarray    # [V] chunk index per (chunk, tile) visit
+    visit_tile: jnp.ndarray     # [V] tile index per visit
+    visit_s0: jnp.ndarray       # [V] slot range start within the chunk
+    visit_s1: jnp.ndarray       # [V] slot range end
+    visit_tstart: jnp.ndarray   # [V] first-visit-of-tile flags/starts
+    gid_order: jnp.ndarray      # [pair_cap] chain-reduce permutation
+    gauss_offsets: jnp.ndarray  # [N+1] per-gaussian segment starts
+    gauss_csum: jnp.ndarray     # [N+1] per-gaussian segment ends
+    tile_bounds: jnp.ndarray    # [num_tiles+1] pair-space tile ranges
+
+
 @partial(jax.jit, static_argnames=("width", "height", "tile", "pair_cap",
                                    "tile_cap", "layout", "align",
                                    "dilate_tiles"))
@@ -383,9 +402,10 @@ def _binning_cache_impl(xyz, scales, rotations, alive, w2v, full_proj, campos,
         tile_bounds = jnp.concatenate(
             [b.tile_start, jnp.minimum(b.total_pairs, pair_cap)[None]]
         ).astype(jnp.int32)
-        return ((b.sorted_gid, v.visit_chunk, v.visit_tile, v.visit_s0,
-                 v.visit_s1, v.visit_tstart) + chain
-                + (tile_bounds,)), b.tile_count, b.n_dropped
+        return (VisitBinningCache(
+            b.sorted_gid, v.visit_chunk, v.visit_tile, v.visit_s0,
+            v.visit_s1, v.visit_tstart, *chain, tile_bounds),
+            b.tile_count, b.n_dropped)
     if layout == "aligned":
         from .binning import chain_reduce_indices
         chain = chain_reduce_indices(b.aligned.aligned_gid, xyz.shape[0])

@@ -16,12 +16,14 @@ from __future__ import annotations
 
 import os
 import random
+from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 
 from ..models import gaussians as gmod
 from ..models.optimizer import adam_step, init_adam_state, semantic_lrs
@@ -119,141 +121,204 @@ def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
     return total
 
 
-@partial(jax.jit, static_argnames=("cfg", "batch", "max_labels",
-                                   "consider_negative", "has_class_feat",
-                                   "do_multiview", "n_mv", "has_sampler",
-                                   "mv_tile_count"))
-def semantic_train_step(params, opt_state, key,
-                        w2v, full_proj, campos, segmap, sorted_segmap,
-                        mv_w2v, mv_full_proj, mv_campos, mv_sorted_segmaps,
-                        seg3d_labels, class_feat, bg, lrs,
-                        lam_sv, lam_mv, lam_3d,
-                        cfg: RasterizeConfig, batch: int, max_labels: int,
-                        consider_negative: bool, has_class_feat: bool,
-                        do_multiview: bool, n_mv: int,
-                        cached_binning=None, mv_cached_binning=None,
-                        has_sampler: bool = False, seg_samp=None,
-                        sorted_samp=None, vis3d_samp=None,
-                        mv_tile_count: int = 0, mv_sel_tiles=None):
-    cam = CameraMats(w2v, full_proj, campos)
-    cf = class_feat if has_class_feat else None
+@struct.dataclass
+class SemanticCamera:
+    """Per-camera dynamic inputs of one semantic train step (registered
+    pytree; built once per camera by SegSplatting._camera_bundles)."""
+    w2v: jnp.ndarray            # [4,4]
+    full_proj: jnp.ndarray      # [4,4]
+    campos: jnp.ndarray         # [3]
+    segmap: jnp.ndarray         # [H,W] raw/filtered instance labels
+    sorted_segmap: jnp.ndarray  # [H,W] cluster-consistent labels
+    binning: Optional[tuple] = None      # frozen-geometry cache bundle
+    seg_samp: Optional[jnp.ndarray] = None     # valid-ids sampler packs
+    sorted_samp: Optional[jnp.ndarray] = None
+    vis3d_samp: Optional[jnp.ndarray] = None
+
+
+@struct.dataclass
+class SemanticMVBlock:
+    """The every-10th-iter multi-view window (n_mv stacked views). Pass
+    None to semantic_train_step to skip the MV loss entirely — the window
+    size and the tile-subsample count are read from the array shapes, and
+    `sel_tiles is not None` selects the tile-subsampled variant."""
+    w2v: jnp.ndarray            # [V,4,4]
+    full_proj: jnp.ndarray      # [V,4,4]
+    campos: jnp.ndarray         # [V,3]
+    segmaps: jnp.ndarray        # [V,H,W] sorted segmaps
+    binning: Optional[tuple] = None      # stacked per-view cache bundles
+    sel_tiles: Optional[jnp.ndarray] = None  # [V,K] sorted unique tile ids
+
+
+@struct.dataclass
+class SemanticHypers:
+    """Training-constant scalars/arrays shared by every step."""
+    bg: jnp.ndarray
+    lrs: dict                   # per-field LRs (models.optimizer.semantic_lrs)
+    lam_sv: jnp.ndarray
+    lam_mv: jnp.ndarray
+    lam_3d: jnp.ndarray
+    seg3d_labels: jnp.ndarray   # [capacity] 3D prior labels
+    class_feat: Optional[jnp.ndarray] = None  # [max_labels,E] prototypes
+
+
+@dataclass(frozen=True)
+class SemanticStepConfig:
+    """Static (trace-time) configuration of semantic_train_step."""
+    raster: RasterizeConfig
+    batch: int
+    max_labels: int
+    consider_negative: bool = False
+
+
+def _mv_tile_subsample_loss(params, seg_feature, mv: "SemanticMVBlock",
+                            key, cf, batch: int, max_labels: int,
+                            cfg: RasterizeConfig):
+    """Tile-subsampled multi-view ProtoNCE (TPU addition, no reference
+    equivalent): uniformly pre-sampled tiles per view are rendered through
+    mini aligned bundles — two-stage cluster sampling of the same pixel
+    population (tiles are equal-sized, so tile-then-pixel uniform sampling
+    is uniform over pixels); ~10x less multi-view render work at somewhat
+    higher gradient variance. Enable with --mv_tile_subsample K.
+    Returns (loss_term, truncated_chunk_count)."""
+    from ..ops.binning import select_tiles_bundle
+    from ..ops.rasterize import VisitBinningCache, rasterize_extras_tiles
+    if not isinstance(mv.binning, VisitBinningCache):
+        raise ValueError(
+            "mv_tile_subsample requires the visit-layout (pallas) binning "
+            "cache — set pipe.rasterizer_impl='pallas' or run on a non-CPU "
+            "backend")
+    n_mv = mv.w2v.shape[0]
+    K = mv.sel_tiles.shape[1]
+    tile = cfg.tile
+    grid_x = (cfg.width + tile - 1) // tile
+    n = params.capacity
+    lane = jnp.arange(tile * tile, dtype=jnp.int32)
+    px = lane % tile
+    py = lane // tile
+    feat_n = seg_feature / (jnp.linalg.norm(
+        seg_feature, axis=1, keepdims=True) + 1e-6)
+    E = seg_feature.shape[1]
+
+    mv_trunc = jnp.int32(0)
+    feats, labels = [], []
+    for i in range(n_mv):
+        mcam = CameraMats(mv.w2v[i], mv.full_proj[i], mv.campos[i])
+        sel = mv.sel_tiles[i]
+        gid, mtile, mrank, n_tr = select_tiles_bundle(
+            mv.binning.sorted_gid[i], mv.binning.tile_bounds[i], sel,
+            chunk_cap=K * 8, n=n, align=cfg.pallas_chunk)
+        mv_trunc = mv_trunc + n_tr  # no silent caps: surfaced to the bar
+        f = rasterize_extras_tiles(
+            params.xyz, params.scaling_activated(),
+            params.rotation_normalized(),
+            params.opacity_activated()[:, 0], mcam, cfg, feat_n,
+            (gid, mtile, mrank), sel, alive=params.alive)
+        ty, tx = sel // grid_x, sel % grid_x
+        yy = ty[:, None] * tile + py[None, :]
+        xx = tx[:, None] * tile + px[None, :]
+        flat_idx = (yy * cfg.width + xx).reshape(-1)
+        # edge tiles of non-multiple-of-16 frames hang past the image:
+        # zero (=invalid) labels for out-of-image pixels so the
+        # valid-pixel sampler never pairs a rendered feature with a
+        # clamped/wrapped segmap label
+        in_img = ((yy < cfg.height) & (xx < cfg.width)).reshape(-1)
+        feats.append(f.reshape(-1, E))
+        labels.append(jnp.where(
+            in_img, mv.segmaps[i].reshape(-1)[
+                jnp.clip(flat_idx, 0, cfg.height * cfg.width - 1)], 0))
+    feats_mv = jnp.concatenate(feats)
+    labels_mv = jnp.concatenate(labels)
+    idx, any_valid = sample_valid_pixels(key, labels_mv > 0, batch)
+    cl = contrastive_loss(feats_mv[idx], labels_mv[idx], max_labels,
+                          predef_u=cf)
+    return jnp.where(any_valid, cl, 0.0), mv_trunc
+
+
+def _mv_full_loss(params, seg_feature, mv: "SemanticMVBlock", key, cf,
+                  bg, batch: int, max_labels: int, cfg: RasterizeConfig):
+    """Reference-exact multi-view ProtoNCE: render all n_mv full views
+    (train_semantic.py:145-172)."""
+    n_mv = mv.w2v.shape[0]
+
+    def render_one(i):
+        mcam = CameraMats(mv.w2v[i], mv.full_proj[i], mv.campos[i])
+        cb = (None if mv.binning is None else
+              jax.tree.map(lambda a: a[i], mv.binning))
+        return render_features(params, mcam, bg, cfg, seg_feature, cb).blend
+
+    blends = [render_one(i) for i in range(n_mv)]
+    labels_mv = mv.segmaps.reshape(-1)
+    idx, any_valid = sample_valid_pixels(key, labels_mv > 0, batch)
+    HW = cfg.height * cfg.width
+    view_of = idx // HW
+    pix = idx % HW
+    if blends[0].extra_tiles is not None:
+        # fetch the sampled features straight from the kernels' tile-major
+        # output (same trick as the single-view loss): the five [H,W,E]
+        # map transposes and their gradient un-transposes
+        # dead-code-eliminate (~6 ms each at 976x728x16 on v5e)
+        grid_x = (cfg.width + cfg.tile - 1) // cfg.tile
+        y, x = pix // cfg.width, pix % cfg.width
+        t = (y // cfg.tile) * grid_x + (x // cfg.tile)
+        p2 = (y % cfg.tile) * cfg.tile + (x % cfg.tile)
+        # per-view masked gathers (batch-sized) instead of stacking the
+        # five tile-major buffers into one [V,T,E,P2] copy
+        f_mv = 0.0
+        for v, b in enumerate(blends):
+            fv = b.extra_tiles[t, :, p2]                      # [batch, E]
+            f_mv = f_mv + jnp.where((view_of == v)[:, None], fv, 0.0)
+    else:
+        feats_mv = jnp.stack([b.extra for b in blends]
+                             ).reshape(-1, seg_feature.shape[1])
+        f_mv = feats_mv[idx]
+    cl = contrastive_loss(f_mv, labels_mv[idx], max_labels, predef_u=cf)
+    return jnp.where(any_valid, cl, 0.0)
+
+
+@partial(jax.jit, static_argnames=("scfg",))
+def semantic_train_step(params, opt_state, key, cam: SemanticCamera,
+                        mv: Optional[SemanticMVBlock],
+                        hyp: SemanticHypers, scfg: SemanticStepConfig):
+    """One contrastive step: single-view + 3D ProtoNCE on `cam`, plus the
+    multi-view ProtoNCE over `mv`'s window when mv is not None (the pytree
+    structure — mv present/absent, samplers present/absent, class_feat
+    present/absent — IS the trace signature; no boolean statics)."""
+    cfg = scfg.raster
+    batch, max_labels = scfg.batch, scfg.max_labels
+    cam_m = CameraMats(cam.w2v, cam.full_proj, cam.campos)
+    cf = hyp.class_feat
+    has_sampler = cam.seg_samp is not None
 
     def loss_fn(seg_feature):
         mv_trunc = jnp.int32(0)
-        out = render_features(params, cam, bg, cfg, seg_feature,
-                              cached_binning)
+        out = render_features(params, cam_m, hyp.bg, cfg, seg_feature,
+                              cam.binning)
         k, k_sv = jax.random.split(key)
         total = single_view_and_3d_losses(
-            params, seg_feature, out, k_sv, segmap, sorted_segmap,
-            seg3d_labels, cf, lam_sv, lam_3d, batch, max_labels,
-            consider_negative, has_sampler, seg_samp, sorted_samp,
-            vis3d_samp, tile=cfg.tile)
+            params, seg_feature, out, k_sv, cam.segmap, cam.sorted_segmap,
+            hyp.seg3d_labels, cf, hyp.lam_sv, hyp.lam_3d, batch, max_labels,
+            scfg.consider_negative, has_sampler, cam.seg_samp,
+            cam.sorted_samp, cam.vis3d_samp, tile=cfg.tile)
 
-        # multi-view over n_mv consecutive views every 10th iter (:145-172)
-        if do_multiview and mv_tile_count > 0:
-            # tile-subsampled variant (TPU addition, no reference
-            # equivalent): uniformly pre-sampled tiles per view are rendered
-            # through mini aligned bundles — two-stage cluster sampling of
-            # the same pixel population (tiles are equal-sized, so
-            # tile-then-pixel uniform sampling is uniform over pixels);
-            # ~10x less multi-view render work at somewhat higher gradient
-            # variance. Enable with --mv_tile_subsample K.
-            from ..ops.binning import select_tiles_bundle
-            from ..ops.rasterize import rasterize_extras_tiles
-            if mv_cached_binning is None or len(mv_cached_binning) < 10:
-                raise ValueError(
-                    "mv_tile_subsample requires the visit-layout (pallas) "
-                    "binning cache — set pipe.rasterizer_impl='pallas' or "
-                    "run on a non-CPU backend")
-            K = mv_tile_count
-            tile = cfg.tile
-            grid_x = (cfg.width + tile - 1) // tile
-            n = params.capacity
-            lane = jnp.arange(tile * tile, dtype=jnp.int32)
-            px = lane % tile
-            py = lane // tile
-            feat_n = seg_feature / (jnp.linalg.norm(
-                seg_feature, axis=1, keepdims=True) + 1e-6)
-            E = seg_feature.shape[1]
-
-            feats, labels = [], []
-            for i in range(n_mv):
-                mcam = CameraMats(mv_w2v[i], mv_full_proj[i], mv_campos[i])
-                sel = mv_sel_tiles[i]
-                gid, mtile, mrank, n_tr = select_tiles_bundle(
-                    mv_cached_binning[0][i], mv_cached_binning[9][i], sel,
-                    chunk_cap=K * 8, n=n, align=cfg.pallas_chunk)
-                mv_trunc = mv_trunc + n_tr  # no silent caps: surfaced below
-                f = rasterize_extras_tiles(
-                    params.xyz, params.scaling_activated(),
-                    params.rotation_normalized(),
-                    params.opacity_activated()[:, 0], mcam, cfg, feat_n,
-                    (gid, mtile, mrank), sel, alive=params.alive)
-                ty, tx = sel // grid_x, sel % grid_x
-                yy = ty[:, None] * tile + py[None, :]
-                xx = tx[:, None] * tile + px[None, :]
-                flat_idx = (yy * cfg.width + xx).reshape(-1)
-                # edge tiles of non-multiple-of-16 frames hang past the
-                # image: zero (=invalid) labels for out-of-image pixels so
-                # the valid-pixel sampler never pairs a rendered feature
-                # with a clamped/wrapped segmap label
-                in_img = ((yy < cfg.height) & (xx < cfg.width)).reshape(-1)
-                feats.append(f.reshape(-1, E))
-                labels.append(jnp.where(
-                    in_img, mv_sorted_segmaps[i].reshape(-1)[
-                        jnp.clip(flat_idx, 0,
-                                 cfg.height * cfg.width - 1)], 0))
-            feats_mv = jnp.concatenate(feats)
-            labels_mv = jnp.concatenate(labels)
+        # multi-view over consecutive views every 10th iter (:145-172)
+        if mv is not None and mv.sel_tiles is not None:
             k, sub = jax.random.split(k)
-            idx, any_valid = sample_valid_pixels(sub, labels_mv > 0, batch)
-            cl = contrastive_loss(feats_mv[idx], labels_mv[idx], max_labels,
-                                  predef_u=cf)
-            total = total + jnp.where(any_valid, cl, 0.0) * lam_mv
-        elif do_multiview:
-            def render_one(i):
-                mcam = CameraMats(mv_w2v[i], mv_full_proj[i], mv_campos[i])
-                cb = (None if mv_cached_binning is None else
-                      tuple(a[i] for a in mv_cached_binning))
-                return render_features(params, mcam, bg, cfg, seg_feature,
-                                       cb).blend
-            blends = [render_one(i) for i in range(n_mv)]
-            labels_mv = mv_sorted_segmaps.reshape(-1)
+            cl, mv_trunc = _mv_tile_subsample_loss(
+                params, seg_feature, mv, sub, cf, batch, max_labels, cfg)
+            total = total + cl * hyp.lam_mv
+        elif mv is not None:
             k, sub = jax.random.split(k)
-            idx, any_valid = sample_valid_pixels(sub, labels_mv > 0, batch)
-            HW = cfg.height * cfg.width
-            view_of = idx // HW
-            pix = idx % HW
-            if blends[0].extra_tiles is not None:
-                # fetch the sampled features straight from the kernels'
-                # tile-major output (same trick as the single-view loss):
-                # the five [H,W,E] map transposes and their gradient
-                # un-transposes dead-code-eliminate (~6 ms each at
-                # 976x728x16 on v5e)
-                grid_x = (cfg.width + cfg.tile - 1) // cfg.tile
-                y, x = pix // cfg.width, pix % cfg.width
-                t = (y // cfg.tile) * grid_x + (x // cfg.tile)
-                p2 = (y % cfg.tile) * cfg.tile + (x % cfg.tile)
-                # per-view masked gathers (batch-sized) instead of stacking
-                # the five tile-major buffers into one [V,T,E,P2] copy
-                f_mv = 0.0
-                for v, b in enumerate(blends):
-                    fv = b.extra_tiles[t, :, p2]                  # [batch, E]
-                    f_mv = f_mv + jnp.where((view_of == v)[:, None], fv, 0.0)
-            else:
-                feats_mv = jnp.stack([b.extra for b in blends]
-                                     ).reshape(-1, seg_feature.shape[1])
-                f_mv = feats_mv[idx]
-            cl = contrastive_loss(f_mv, labels_mv[idx], max_labels,
-                                  predef_u=cf)
-            total = total + jnp.where(any_valid, cl, 0.0) * lam_mv
+            cl = _mv_full_loss(params, seg_feature, mv, sub, cf, hyp.bg,
+                               batch, max_labels, cfg)
+            total = total + cl * hyp.lam_mv
         return total, mv_trunc
 
     (loss, mv_trunc), g = jax.value_and_grad(
         loss_fn, has_aux=True)(params.seg_feature)
     grads = params.replace(seg_feature=g)  # only seg_feature is read below
     new_params, new_opt = adam_step(
-        params, grads, opt_state, lrs,
+        params, grads, opt_state, hyp.lrs,
         frozen_fields=("xyz", "features_dc", "features_rest", "scaling",
                        "rotation", "opacity"))
     return new_params, new_opt, loss, mv_trunc
@@ -436,6 +501,26 @@ class SegSplatting:
         self.sampling_packs = (seg_cs, sorted_cs, vis_cs)
         return self.sampling_packs
 
+    def _camera_bundles(self) -> List[SemanticCamera]:
+        """One SemanticCamera pytree per training view: device-resident
+        camera mats + segmaps (uploading [H,W] maps per step costs ~1 ms
+        each over the tunnel; they are training-constant), the
+        frozen-geometry binning cache and the valid-ids sampler packs."""
+        seg_cs, sorted_cs, vis_cs = self.sampling_packs
+        bundles = []
+        for ci, (ct, cam) in enumerate(zip(self.cams, self.cam_objs)):
+            zeros = jnp.zeros((int(cam.height), int(cam.width)), jnp.int32)
+            bundles.append(SemanticCamera(
+                w2v=ct.w2v, full_proj=ct.full_proj, campos=ct.campos,
+                segmap=(jnp.asarray(cam.segmap) if cam.segmap is not None
+                        else zeros),
+                sorted_segmap=(jnp.asarray(cam.sorted_segmap)
+                               if cam.sorted_segmap is not None else zeros),
+                binning=self.binning_cache[ci],
+                seg_samp=seg_cs[ci], sorted_samp=sorted_cs[ci],
+                vis3d_samp=vis_cs[ci]))
+        return bundles
+
     def _max_labels(self) -> int:
         # memoized: the label space is fixed once the (re)loaded segmaps and
         # 3D priors exist — no need to rescan every image per training run
@@ -548,35 +633,37 @@ class SegSplatting:
         if self.dp:
             return self._train_segfeat_dp(iterations, opt_state, max_labels,
                                           progress, save_every)
-        seg_cs, sorted_cs, vis_cs = self.sampling_packs
         # tiny scenes: shrink the MV window to the camera count instead of
         # crashing (reference train_semantic.py:148 raises on
         # len(cams) <= sample_mv_frames; window range matches it otherwise)
         n_mv = min(int(opt.sample_mv_frames), len(self.cams))
         self.mv_trunc_total = 0
-        has_cf = self.class_feat is not None
         cf = (jnp.asarray(np.pad(self.class_feat,
                                  ((0, max(0, max_labels
                                           - len(self.class_feat))), (0, 0))))
-              if has_cf else jnp.zeros((max_labels,
-                                        self.dataset.seg_feat_dim)))
-        zeros_map = jnp.zeros_like(jnp.asarray(self.cam_objs[0].segmap))
-        # per-camera DEVICE segmap cache: uploading the [H,W] maps on every
-        # step costs ~1ms each over the tunnel; they are training-constant
-        dev_seg = {}
-
-        def seg_dev(v, sorted_=False):
-            key = (v, sorted_)
-            if key not in dev_seg:
-                m = (self.cam_objs[v].sorted_segmap if sorted_
-                     else self.cam_objs[v].segmap)
-                dev_seg[key] = jnp.asarray(m) if m is not None else zeros_map
-            return dev_seg[key]
+              if self.class_feat is not None else None)
 
         from ..models.optimizer import dev_scalar
-        lam_sv = dev_scalar(opt.lambda_singview_contras)
-        lam_mv = dev_scalar(opt.lambda_multiview_contras)
-        lam_3d = dev_scalar(opt.lambda_3D_contras)
+        hyp = SemanticHypers(
+            bg=self.bg, lrs=lrs,
+            lam_sv=dev_scalar(opt.lambda_singview_contras),
+            lam_mv=dev_scalar(opt.lambda_multiview_contras),
+            lam_3d=dev_scalar(opt.lambda_3D_contras),
+            seg3d_labels=self.seg3d_labels_padded, class_feat=cf)
+        bundles = self._camera_bundles()
+        scfg_of = {}  # one static config per camera resolution
+
+        def scfg_for(ci):
+            wh = (int(self.cam_objs[ci].width), int(self.cam_objs[ci].height))
+            if wh not in scfg_of:
+                scfg_of[wh] = SemanticStepConfig(
+                    raster=RasterizeConfig(
+                        width=wh[0], height=wh[1], bwd_extras_only=True,
+                        impl=getattr(self.pipe, "rasterizer_impl", "auto")),
+                    batch=int(opt.sample_batchsize), max_labels=max_labels,
+                    consider_negative=bool(opt.consider_negative_labels))
+            return scfg_of[wh]
+
         stack = []
         bar = tqdm(range(1, iterations + 1), desc="Contrastive",
                    disable=not progress)
@@ -588,60 +675,38 @@ class SegSplatting:
             if not stack:
                 stack = list(range(len(self.cams)))
             ci = stack.pop(self.rng.randint(0, len(stack) - 1))
-            ct = self.cams[ci]
             cam_obj = self.cam_objs[ci]
-            cfg = RasterizeConfig(
-                width=int(cam_obj.width), height=int(cam_obj.height),
-                bwd_extras_only=True,
-                impl=getattr(self.pipe, "rasterizer_impl", "auto"))
-            segmap = seg_dev(ci)
-            sorted_segmap = seg_dev(ci, True)
             do_mv = (opt.lambda_multiview_contras > 0 and it % 10 == 0)
             mv_k = int(getattr(opt, "mv_tile_subsample", 0))
             num_tiles = (((int(cam_obj.width) + 15) // 16)
                          * ((int(cam_obj.height) + 15) // 16))
             mv_k = min(mv_k, num_tiles)
-            cb = self.binning_cache[ci]
-            mv_sel = None
+            mv = None
             if do_mv:
                 v0 = self.rng.randint(0, max(0, len(self.cams) - n_mv - 1))
-                mv = [self.cams[v] for v in range(v0, v0 + n_mv)]
-                mv_w2v = jnp.stack([m.w2v for m in mv])
-                mv_fp = jnp.stack([m.full_proj for m in mv])
-                mv_cp = jnp.stack([m.campos for m in mv])
-                mv_seg = jnp.stack(
-                    [seg_dev(v, True) for v in range(v0, v0 + n_mv)])
-                mv_cb = tuple(
-                    jnp.stack([self.binning_cache[v][f]
-                               for v in range(v0, v0 + n_mv)])
-                    for f in range(len(self.binning_cache[0])))
+                window = range(v0, v0 + n_mv)
+                mv_sel = None
                 if mv_k:
                     mv_sel = jnp.asarray(np.stack(
                         [np.sort(np.asarray(
                             self.rng.sample(range(num_tiles), mv_k),
                             np.int32)) for _ in range(n_mv)]))
-            else:
-                if not hasattr(self, "_mv_dummy"):
-                    self._mv_dummy = (
-                        jnp.zeros((n_mv, 4, 4)), jnp.zeros((n_mv, 4, 4)),
-                        jnp.zeros((n_mv, 3)),
-                        jnp.zeros((n_mv,) + zeros_map.shape, jnp.int32),
-                        tuple(jnp.zeros((n_mv,) + a.shape, jnp.int32)
-                              for a in cb))
-                mv_w2v, mv_fp, mv_cp, mv_seg, mv_cb = self._mv_dummy
+                mv = SemanticMVBlock(
+                    w2v=jnp.stack([self.cams[v].w2v for v in window]),
+                    full_proj=jnp.stack(
+                        [self.cams[v].full_proj for v in window]),
+                    campos=jnp.stack([self.cams[v].campos for v in window]),
+                    segmaps=jnp.stack(
+                        [bundles[v].sorted_segmap for v in window]),
+                    binning=jax.tree.map(
+                        lambda *xs: jnp.stack(xs),
+                        *[self.binning_cache[v] for v in window]),
+                    sel_tiles=mv_sel)
 
             self.key, sub = jax.random.split(self.key)
             self.params, opt_state, loss, mv_trunc = semantic_train_step(
-                self.params, opt_state, sub,
-                ct.w2v, ct.full_proj, ct.campos, segmap, sorted_segmap,
-                mv_w2v, mv_fp, mv_cp, mv_seg,
-                self.seg3d_labels_padded, cf, self.bg, lrs,
-                lam_sv, lam_mv, lam_3d, cfg, int(opt.sample_batchsize),
-                max_labels, bool(opt.consider_negative_labels), has_cf,
-                do_mv, n_mv, cached_binning=cb, mv_cached_binning=mv_cb,
-                has_sampler=True, seg_samp=seg_cs[ci],
-                sorted_samp=sorted_cs[ci], vis3d_samp=vis_cs[ci],
-                mv_tile_count=mv_k if do_mv else 0, mv_sel_tiles=mv_sel)
+                self.params, opt_state, sub, bundles[ci], mv, hyp,
+                scfg_for(ci))
             if do_mv and mv_k:
                 # no silent caps: deepest-chunk truncation in the MV
                 # tile-subsample path is counted and reported
