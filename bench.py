@@ -28,7 +28,24 @@ BASELINE_SEMANTIC_ITS = 10_000 / (20 * 60)  # 8.33 it/s on A100
 WARMUP_ITERS = int(os.environ.get("BENCH_WARMUP", 12))
 
 
-def make_bench_scene(n=300_000, seed=0):
+def make_bench_scene(n=300_000, seed=0, profile="uniform"):
+    """Synthetic waldo-scale scene in one of two statistical profiles.
+
+    profile="uniform" (the round-1..3 bench): isotropic near-filter-floor
+    splats at opacity 0.5 with uniform-random instance labels — kept for
+    round-over-round comparability of the headline.
+
+    profile="trained" models a post-training 2DGS distribution (the one
+    real workloads render; reference train.py:139-151 densifies to
+    anisotropic splats, gaussian_model.py:586-598 prunes opacity<0.05):
+    - spatially clustered instances (60 clusters, lognormal radii) plus a
+      diffuse background fraction;
+    - anisotropic log-normal surfel scales: shared log-normal base size x
+      a log-normal per-axis anisotropy ratio (median ~1.6x);
+    - long-tailed opacity: 60% survivors pushed toward 1 by the photo
+      loss, 30% mid, 10% recent opacity-reset survivors near the 0.05
+      prune floor;
+    - per-cluster base colors and seg features."""
     import jax.numpy as jnp
 
     from instascene_tpu.cameras import Camera
@@ -36,17 +53,55 @@ def make_bench_scene(n=300_000, seed=0):
     from instascene_tpu.models.gaussians import GaussianParams
     from instascene_tpu.utils.general import inverse_sigmoid
     rng = np.random.default_rng(seed)
-    xyz = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    if profile == "uniform":
+        xyz = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+        scaling = np.log(rng.uniform(0.004, 0.02, (n, 2))).astype(np.float32)
+        opacity = np.full((n, 1), float(inverse_sigmoid(0.5)), np.float32)
+        fdc = rng.normal(0, 0.3, (n, 1, 3)).astype(np.float32)
+        segf = rng.random((n, 16)).astype(np.float32)
+        clusters = None
+    elif profile == "trained":
+        K = 60
+        centers = rng.normal(0, 0.9, (K, 3))
+        radii = np.exp(rng.normal(np.log(0.18), 0.5, K))
+        n_bg = n // 8                     # diffuse walls/floor background
+        n_fg = n - n_bg
+        clusters = np.concatenate([
+            rng.integers(0, K, n_fg), np.full(n_bg, K)]).astype(np.int32)
+        xyz = np.empty((n, 3), np.float32)
+        fg = clusters < K
+        xyz[fg] = (centers[clusters[fg]]
+                   + rng.normal(size=(n_fg, 3)) * radii[clusters[fg], None]
+                   ).astype(np.float32)
+        xyz[~fg] = rng.normal(0, 1.6, (n_bg, 3)).astype(np.float32)
+        base = rng.normal(np.log(0.008), 0.7, n)       # log-normal size
+        aniso = np.abs(rng.normal(0.5, 0.35, n))       # log anisotropy ratio
+        scaling = np.stack([base + 0.5 * aniso, base - 0.5 * aniso],
+                           axis=-1).astype(np.float32)
+        u = rng.random(n)
+        op = np.where(
+            u < 0.6, 0.5 + 0.495 * rng.random(n) ** 0.35,   # toward 1
+            np.where(u < 0.9, 0.05 + 0.45 * rng.random(n),  # mid
+                     0.05 + 0.05 * rng.random(n)))          # reset survivors
+        opacity = inverse_sigmoid(np.clip(op, 0.05, 0.995)
+                                  ).astype(np.float32)[:, None]
+        cluster_color = rng.normal(0, 0.45, (K + 1, 3))
+        fdc = (cluster_color[clusters][:, None]
+               + rng.normal(0, 0.08, (n, 1, 3))).astype(np.float32)
+        cluster_feat = rng.random((K + 1, 16))
+        segf = (cluster_feat[clusters]
+                + 0.05 * rng.random((n, 16))).astype(np.float32)
+    else:
+        raise ValueError(profile)
     params = GaussianParams(
         xyz=jnp.asarray(xyz),
-        features_dc=jnp.asarray(rng.normal(0, 0.3, (n, 1, 3)).astype(np.float32)),
+        features_dc=jnp.asarray(fdc),
         features_rest=jnp.zeros((n, 15, 3)),
-        scaling=jnp.asarray(np.log(rng.uniform(0.004, 0.02, (n, 2))
-                                   ).astype(np.float32)),
+        scaling=jnp.asarray(scaling),
         rotation=jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
-        opacity=jnp.full((n, 1), float(inverse_sigmoid(0.5))),
+        opacity=jnp.asarray(opacity),
         alive=jnp.ones(n, bool),
-        seg_feature=jnp.asarray(rng.random((n, 16)).astype(np.float32)),
+        seg_feature=jnp.asarray(segf),
         active_sh_degree=3, max_sh_degree=3)
 
     def make_cam(i, width, height):
@@ -56,6 +111,9 @@ def make_bench_scene(n=300_000, seed=0):
         return Camera(uid=i, colmap_id=i, R=R_w2c.T, T=t, fovx=1.2, fovy=0.95,
                       image_name=str(i), width=width, height=height)
 
+    if profile == "trained":
+        make_cam.clusters = clusters
+        make_cam.centers = centers
     return params, make_cam
 
 
@@ -487,10 +545,39 @@ def main():
     except Exception as e:
         extra["gui_coherent_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
+        # 4K exercises the sequential tile-slab fallback (the visit arrays
+        # of a single 3840x2160 launch exceed the SMEM scalar-prefetch
+        # budget; ops/rasterize._slab_plan splits the frame)
+        extra["render_4k_fps"] = round(
+            bench_render_fps(params, make_cam, width=3840, height=2160,
+                             iters=8), 2)
+    except Exception as e:
+        extra["fps4k_error"] = f"{type(e).__name__}: {e}"[:200]
+    try:
         extra["tracker_view_s"] = round(
             bench_tracker_view(params, make_cam), 3)
     except Exception as e:
         extra["tracker_error"] = f"{type(e).__name__}: {e}"[:200]
+
+    # trained-profile scene (anisotropic log-normal scales, long-tail
+    # opacity, clustered instances — the distribution real workloads
+    # render): every profile-sensitive tuning decision is re-measured here
+    tp_params, tp_cam = make_bench_scene(
+        n=int(os.environ.get("BENCH_N", 300_000)), profile="trained")
+    for name, fn in (
+            ("trained_render_1080p_fps",
+             lambda: bench_render_fps(tp_params, tp_cam)),
+            ("trained_gui_render_1080p_fps",
+             lambda: bench_render_fps(tp_params, tp_cam, viewer=True)),
+            ("trained_gui_coherent_1080p_fps",
+             lambda: bench_gui_coherent_fps(tp_params, tp_cam)),
+            ("trained_geometry_train_its",
+             lambda: bench_geometry(tp_params, tp_cam)),
+    ):
+        try:
+            extra[name] = round(fn(), 3)
+        except Exception as e:
+            extra[name + "_error"] = f"{type(e).__name__}: {e}"[:200]
     if sem_its is None and "geometry_train_its" in extra:
         sem_its = 0.0
     print(json.dumps({

@@ -312,11 +312,108 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
     rendering): render pixel rows [y_offset, y_offset+cfg.height) of a
     full_height-tall image — the basis of image-space sharded rendering."""
     cfg = cfg.resolved(means3d.shape[0])
+    if (cached_binning is None and y_offset is None and full_height is None
+            and coherent_guard is None):
+        plan = _slab_plan(cfg)
+        if plan is not None:
+            return _rasterize_slabs(means3d, scales, rotations, opacities,
+                                    cam, bg, colors, shs, extras, t_offset,
+                                    alive, sh_degree, cfg, plan)
     return _rasterize_impl(means3d, scales, rotations, opacities,
                            cam.w2v, cam.full_proj, cam.campos, bg,
                            colors, shs, extras, t_offset, alive,
                            cached_binning, cfg.width, cfg.height, sh_degree,
                            cfg, y_offset, full_height, coherent_guard)
+
+
+def _slab_plan(cfg: RasterizeConfig):
+    """Graceful scale degradation: when a single full-frame launch's visit
+    arrays would blow the kernel's SMEM scalar-prefetch budget (a 4K frame
+    at bench-scale pair caps does — blend_visits.VISIT_SMEM_BUDGET_BYTES),
+    split the frame into the fewest horizontal tile slabs whose per-slab
+    visit counts fit, each with a proportional (1.5x-margin) pair cap.
+    Returns None (no split needed) or [(y0_px, slab_h_px, slab_pair_cap)].
+    The CUDA reference sizes its buffers dynamically and renders any
+    resolution (rasterize_points.cu:39-100); XLA needs static shapes, so
+    scale is bought with sequential slabs instead — same machinery as the
+    multi-chip image-space sharding (parallel/render_sharded.py), one chip.
+    Applied uniformly on every backend so the product path is testable on
+    CPU."""
+    if cfg.impl != "pallas":
+        return None
+    from .blend_visits import VISIT_SMEM_BUDGET_BYTES
+    chunk = cfg.pallas_chunk
+    grid_x = (cfg.width + cfg.tile - 1) // cfg.tile
+    grid_y = (cfg.height + cfg.tile - 1) // cfg.tile
+    fits = lambda cap, rows: (5 * 4 * (cap // chunk + grid_x * rows)
+                              <= VISIT_SMEM_BUDGET_BYTES)
+    if fits(cfg.pair_cap, grid_y):
+        return None
+    for n_slabs in range(2, grid_y + 1):
+        rows = -(-grid_y // n_slabs)
+        cap = int(cfg.pair_cap * rows / grid_y * 1.5)
+        cap = max(chunk, -(-cap // chunk) * chunk)
+        if fits(cap, rows):
+            break
+    else:
+        raise ValueError(
+            f"cannot slab-split {cfg.width}x{cfg.height} under the visit "
+            f"SMEM budget even at one tile row per slab")
+    plan = []
+    y0 = 0
+    while y0 < cfg.height:
+        h = min(rows * cfg.tile, cfg.height - y0)
+        plan.append((y0, h, cap))
+        y0 += h
+    return plan
+
+
+def _rasterize_slabs(means3d, scales, rotations, opacities, cam: CameraMats,
+                     bg, colors, shs, extras, t_offset, alive, sh_degree,
+                     cfg: RasterizeConfig, plan) -> RasterizeOut:
+    """Sequential tile-slab rendering (see _slab_plan). Per-pixel maps
+    concatenate along image rows; extra_tiles concatenates along the tile
+    axis (slabs are whole tile rows in order, so local-tile concatenation
+    IS the global row-major tile order); per-gaussian quantities merge as
+    max/OR (a slab call clamps rects to its own rows)."""
+    from dataclasses import replace
+
+    from .blend import BlendOut as _BlendOut
+    outs = []
+    for y0, h, cap in plan:
+        scfg = replace(cfg, height=h, pair_cap=cap)
+        outs.append(_rasterize_impl(
+            means3d, scales, rotations, opacities,
+            cam.w2v, cam.full_proj, cam.campos, bg, colors, shs, extras,
+            t_offset, alive, None, cfg.width, h, sh_degree, scfg,
+            jnp.float32(y0), cfg.height, None))
+    cat = lambda get: jnp.concatenate([get(o.blend) for o in outs], axis=0)
+    b0 = outs[0].blend
+    blend = _BlendOut(
+        color=cat(lambda b: b.color), depth=cat(lambda b: b.depth),
+        alpha=cat(lambda b: b.alpha), normal=cat(lambda b: b.normal),
+        median_depth=cat(lambda b: b.median_depth),
+        distortion=cat(lambda b: b.distortion),
+        extra=cat(lambda b: b.extra), final_T=cat(lambda b: b.final_T),
+        n_contrib=cat(lambda b: b.n_contrib),
+        contrib_ids=(cat(lambda b: b.contrib_ids)
+                     if b0.contrib_ids is not None else None),
+        contrib_w=(cat(lambda b: b.contrib_w)
+                   if b0.contrib_w is not None else None),
+        extra_tiles=(cat(lambda b: b.extra_tiles)
+                     if b0.extra_tiles is not None else None))
+    radii = outs[0].radii
+    visible = outs[0].visible
+    n_dropped = outs[0].n_dropped
+    total = outs[0].total_pairs
+    for o in outs[1:]:
+        radii = jnp.maximum(radii, o.radii)
+        visible = visible | o.visible
+        n_dropped = n_dropped + o.n_dropped
+        total = total + o.total_pairs
+    return RasterizeOut(blend=blend, radii=radii, visible=visible,
+                        depth=outs[0].depth, n_dropped=n_dropped,
+                        T=outs[0].T, total_pairs=total, guard_ok=None)
 
 
 def rasterize_extras_tiles(means3d, scales, rotations, opacities,

@@ -895,3 +895,95 @@ def test_no_depth_dist_matches_xla(rng):
         denom = np.abs(a).max() + 1e-8
         assert np.abs(a - b).max() / denom < 5e-3, (
             nm, np.abs(a - b).max(), denom)
+
+
+def test_slab_plan_4k_and_1080p():
+    """_slab_plan splits a 4K bench-scale frame into budget-fitting tile
+    slabs (the CUDA reference renders any resolution via dynamic buffers,
+    rasterize_points.cu:39-100; XLA buys the same with sequential slabs)
+    and leaves a snug-cap 1080p frame unsplit."""
+    from instascene_tpu.ops.blend_visits import VISIT_SMEM_BUDGET_BYTES
+    from instascene_tpu.ops.rasterize import RasterizeConfig, _slab_plan
+
+    cfg4k = RasterizeConfig(width=3840, height=2160, impl="pallas",
+                            pair_cap=5 * 1024 * 1024).resolved(300_000)
+    plan = _slab_plan(cfg4k)
+    assert plan is not None and len(plan) >= 2
+    assert plan[0][0] == 0
+    assert sum(h for _, h, _ in plan) == 2160
+    for i, (y0, h, cap) in enumerate(plan):
+        assert y0 % 16 == 0 and (h % 16 == 0 or i == len(plan) - 1)
+        rows = -(-h // 16)
+        assert 5 * 4 * (cap // 128 + 240 * rows) <= VISIT_SMEM_BUDGET_BYTES
+
+    cfg1080 = RasterizeConfig(width=1920, height=1080, impl="pallas",
+                              pair_cap=1440 * 1024).resolved(300_000)
+    assert _slab_plan(cfg1080) is None
+
+
+def test_slab_render_matches_single(rng, monkeypatch):
+    """Shrinking the visit SMEM budget forces the slab fallback on a small
+    frame; maps, per-gaussian outputs and gradients must match the
+    single-launch render exactly."""
+    import instascene_tpu.ops.blend_visits as bv
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              _slab_plan, rasterize)
+
+    pos = np.array([0.0, -3.5, 1.0])
+    R_w2c, t = look_at(pos, np.zeros(3))
+    cam = Camera(uid=0, colmap_id=0, R=R_w2c.T, T=t, fovx=0.9, fovy=0.65,
+                 image_name="t", width=W, height=H)
+    n = 80
+    xyz = rng.normal(0, 0.5, (n, 3)).astype(np.float32)
+    scales = np.exp(rng.normal(-2.0, 0.4, (n, 2))).astype(np.float32)
+    rots = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.95, (n,)).astype(np.float32)
+    color = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    extra = rng.normal(size=(n, 4)).astype(np.float32)
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    bg = jnp.asarray([0.2, 0.1, 0.4])
+    cfg = RasterizeConfig(width=W, height=H, pair_cap=2048, tile_cap=256,
+                          impl="pallas")
+
+    def run(xyz_, opac_):
+        out = rasterize(xyz_, jnp.asarray(scales), jnp.asarray(rots), opac_,
+                        cm, bg, cfg, colors=jnp.asarray(color),
+                        extras=jnp.asarray(extra))
+        b = out.blend
+        loss = (jnp.sum(b.color ** 2) + jnp.sum(b.normal ** 2)
+                + jnp.sum(b.alpha) + jnp.sum(b.extra ** 2)
+                + jnp.sum(b.distortion) + jnp.sum(b.median_depth))
+        return loss, out
+
+    assert _slab_plan(cfg.resolved(n)) is None
+    (v_full, out_full), g_full = jax.value_and_grad(
+        run, argnums=(0, 1), has_aux=True)(jnp.asarray(xyz),
+                                           jnp.asarray(opac))
+
+    # budget between the full frame's visit bytes and a 2-slab split's
+    rcfg = cfg.resolved(n)
+    full_v = rcfg.pair_cap // 128 + (W // 16) * (H // 16)
+    monkeypatch.setattr(bv, "VISIT_SMEM_BUDGET_BYTES", 5 * 4 * full_v - 20)
+    plan = _slab_plan(rcfg)
+    assert plan is not None and len(plan) >= 2
+    (v_slab, out_slab), g_slab = jax.value_and_grad(
+        run, argnums=(0, 1), has_aux=True)(jnp.asarray(xyz),
+                                           jnp.asarray(opac))
+
+    bf, bs = out_full.blend, out_slab.blend
+    for name in ("color", "depth", "alpha", "normal", "median_depth",
+                 "distortion", "extra", "final_T", "n_contrib"):
+        a, b = getattr(bf, name), getattr(bs, name)
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5), name
+    assert np.array_equal(np.asarray(out_full.radii),
+                          np.asarray(out_slab.radii))
+    assert np.array_equal(np.asarray(out_full.visible),
+                          np.asarray(out_slab.visible))
+    assert np.isclose(float(v_full), float(v_slab), rtol=1e-5)
+    # per-gaussian grads reduce per slab then add — a different float
+    # summation order than the single global reduction, so tolerance is
+    # reassociation-level, not exactness
+    for gf, gs in zip(g_full, g_slab):
+        assert np.allclose(np.asarray(gf), np.asarray(gs),
+                           atol=5e-4, rtol=2e-3)
