@@ -226,19 +226,30 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
             md = FAR_N / (FAR_N - NEAR_N) * (1.0 - NEAR_N / d_safe)
             mw = md * w
             m2w = md * md * w
-            mm_excl = _cumsum_excl_pair(mw, m2w)
-            P2 = tile * tile
             if select_init:
                 m1_in = jnp.where(first, 0.0, m1s[0:1])
                 m2_in = jnp.where(first, 0.0, m2s[0:1])
             else:
                 m1_in = m1s[0:1]
                 m2_in = m2s[0:1]
-            m1_excl = m1_in + mm_excl[:, :P2]
-            m2_excl = m2_in + mm_excl[:, P2:]
-            acc_dist = jnp.sum((md * md * (1.0 - T_c) + m2_excl
-                                - 2.0 * md * m1_excl) * w, axis=0,
-                               keepdims=True)
+            # totals form of the 2DGS distortion increment (round 4): the
+            # reference's per-contribution accumulation (forward.cu:396-410)
+            # sums w_i*(md_i^2*A_<i + M2_<i - 2 md_i M1_<i), i.e. the
+            # ordered pairwise sum over j<i of w_i w_j (md_i - md_j)^2.
+            # Split pairs at the visit boundary: within-visit pairs collapse
+            # to Wc*M2c - M1c^2 and cross pairs to M2c*W0 + Wc*M2_0
+            # - 2 M1c*M1_0, all from [1,P2] totals — the per-entry exclusive
+            # pair scan (a 7-step Hillis-Steele over [C, 2*P2]) and its
+            # integrand disappear. W0 = 1 - T_in by the transmittance
+            # identity (weights before this visit sum to 1 - T_in). The
+            # backward already differentiates this pairwise form
+            # (_bwd_kernel_visits uses final totals only).
+            W_c = jnp.sum(w, axis=0, keepdims=True)
+            M1_c = jnp.sum(mw, axis=0, keepdims=True)
+            M2_c = jnp.sum(m2w, axis=0, keepdims=True)
+            W_0 = 1.0 - T_in
+            acc_dist = (W_c * M2_c - M1_c * M1_c
+                        + M2_c * W_0 + W_c * m2_in - 2.0 * M1_c * m1_in)
 
         iota_c = jax.lax.broadcasted_iota(jnp.int32, cmask.shape, 0)
         cand = cmask & (T_c > 0.5)
@@ -268,8 +279,8 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
             out_ref[0, 10 + E:11 + E] = zrow
             out_ref[0, 11 + E:12 + E] = zrow
         else:
-            m1_new = m1_in + jnp.sum(mw, axis=0, keepdims=True)
-            m2_new = m2_in + jnp.sum(m2w, axis=0, keepdims=True)
+            m1_new = m1_in + M1_c
+            m2_new = m2_in + M2_c
             out_ref[0, 3:4] = out[3:4] + acc_dep
             out_ref[0, 8:9] = out[8:9] + acc_dist
             out_ref[0, 10 + E:11 + E] = m1_new
@@ -282,13 +293,6 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
 
         Tst[0:1] = T_out
         done_s[0:1] = done_cum[-1:, :].astype(jnp.int32)
-
-
-def _cumsum_excl_pair(a, b):
-    """Exclusive prefix sums of two same-shape arrays in one packed scan
-    (lanes are independent)."""
-    from .blend_pallas import _cumsum_excl
-    return _cumsum_excl(jnp.concatenate([a, b], axis=1))
 
 
 def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
