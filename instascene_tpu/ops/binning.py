@@ -383,8 +383,37 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
         rmin_y = (b_rect >> 10) & 1023
         rmin_x = b_rect & 1023
     rank = jnp.where(slot_valid, arange_pairs - b_off, 0)
-    dy = rank // rw
-    dx = rank - dy * rw
+    if pre.cull_lo is not None and not dilate_tiles:
+        # conic pair culling (preprocess.conic_cull_masks): tiles_touched
+        # counted only KEPT row-major offsets, so pair rank r maps to the
+        # r-th set bit of the per-gaussian 64-bit keep-mask (two more
+        # broadcast chains; bit patterns ride the same diff-scatter + cumsum
+        # telescoping — int32 wraparound is exact mod 2³²). Ranks past the
+        # window population map linearly onto offsets >= 64 (always kept).
+        as_i32 = lambda u: jax.lax.bitcast_convert_type(u, jnp.int32)
+        as_u32 = lambda i: jax.lax.bitcast_convert_type(i, jnp.uint32)
+        m0 = as_u32(seg_broadcast(as_i32(pre.cull_lo)))
+        m1 = as_u32(seg_broadcast(as_i32(pre.cull_hi)))
+        p0 = jax.lax.population_count(m0).astype(jnp.int32)
+        ptot = p0 + jax.lax.population_count(m1).astype(jnp.int32)
+        in_win = rank < ptot
+        use_hi = rank >= p0
+        word = jnp.where(use_hi, m1, m0)
+        r = rank - jnp.where(use_hi, p0, 0)
+        pos = jnp.zeros_like(rank)
+        for half in (16, 8, 4, 2, 1):
+            low = word & jnp.uint32((1 << half) - 1)
+            cnt = jax.lax.population_count(low).astype(jnp.int32)
+            go_hi = r >= cnt
+            word = jnp.where(go_hi, word >> half, word)
+            r = r - jnp.where(go_hi, cnt, 0)
+            pos = pos + jnp.where(go_hi, half, 0)
+        offset = jnp.where(in_win, pos + jnp.where(use_hi, 32, 0),
+                           64 + rank - ptot)
+    else:
+        offset = rank
+    dy = offset // rw
+    dx = offset - dy * rw
     tile_id = (rmin_y + dy) * grid_x + (rmin_x + dx)
     tile_id = jnp.where(slot_valid, tile_id, num_tiles)          # sentinel tile
 

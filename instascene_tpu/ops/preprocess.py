@@ -42,6 +42,12 @@ class PreprocessOut(NamedTuple):
     tiles_touched: jnp.ndarray  # [N] int32
     valid: jnp.ndarray        # [N] bool
     color: jnp.ndarray        # [N,3]
+    # conic pair-culling bitmasks (conic_cull_masks): bit k set ⟺ row-major
+    # tile offset k of the rect is KEPT. tiles_touched already counts only
+    # kept offsets; bin_gaussians maps pair rank → k-th set bit. None when
+    # conic culling is off.
+    cull_lo: Optional[jnp.ndarray] = None  # [N] uint32 offsets 0..31
+    cull_hi: Optional[jnp.ndarray] = None  # [N] uint32 offsets 32..63
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
@@ -88,7 +94,8 @@ def preprocess_gaussians(
         alive: Optional[jnp.ndarray] = None,
         y_offset=None,                # traced ok: slab origin in pixels
         full_height: Optional[int] = None,
-        opacity: Optional[jnp.ndarray] = None) -> PreprocessOut:
+        opacity: Optional[jnp.ndarray] = None,
+        conic_cull: bool = False) -> PreprocessOut:
     """`y_offset`/`full_height`: render a horizontal slab of a
     `full_height`-tall image into local [0, height) pixel rows — the NDC
     mapping uses the full image, the AABB/tile clamps the local slab.
@@ -255,6 +262,11 @@ def preprocess_gaussians(
     tiles_touched = jnp.where(valid, tiles, 0).astype(jnp.int32)
     radius = jnp.where(valid, radius, 0.0)
 
+    cull_lo = cull_hi = None
+    if conic_cull and opacity is not None:
+        cull_lo, cull_hi, tiles_touched = conic_cull_masks(
+            T, xy, opacity, rect_min, rect_max, tiles_touched, tile=tile)
+
     if color is None:
         from .sh import sh_to_color
         color = sh_to_color(sh_degree, shs.astype(f32), xyz, campos.astype(f32))
@@ -264,7 +276,182 @@ def preprocess_gaussians(
     return PreprocessOut(T=T, normal_view=normal_view, depth=p_view[:, 2],
                          xy=xy, radius=radius, rect_min=rect_min,
                          rect_max=rect_max, tiles_touched=tiles_touched,
-                         valid=valid, color=color)
+                         valid=valid, color=color,
+                         cull_lo=cull_lo, cull_hi=cull_hi)
+
+
+CULL_WINDOW = 64   # row-major tile offsets representable in the cull bitmask
+CULL_ROWS = 8      # rect rows solved exactly; later rows keep all their tiles
+
+
+def _mask_below(k: jnp.ndarray):
+    """64-bit mask of bits [0, k) as two uint32 words; k int32 in [0, 64]."""
+    ones = jnp.uint32(0xFFFFFFFF)
+    kl = jnp.clip(k, 0, 32)
+    kh = jnp.clip(k - 32, 0, 32)
+    lo = jnp.where(kl == 0, jnp.uint32(0),
+                   ones >> jnp.clip(32 - kl, 0, 31).astype(jnp.uint32))
+    hi = jnp.where(kh == 0, jnp.uint32(0),
+                   ones >> jnp.clip(32 - kh, 0, 31).astype(jnp.uint32))
+    return lo, hi
+
+
+def _mask_range(s: jnp.ndarray, e: jnp.ndarray):
+    """64-bit mask of bits [s, e) (clamped to [0, 64]) as two uint32 words."""
+    elo, ehi = _mask_below(jnp.maximum(e, 0))
+    slo, shi = _mask_below(jnp.maximum(s, 0))
+    return elo & ~slo, ehi & ~shi
+
+
+def conic_cull_masks(T: jnp.ndarray, xy: jnp.ndarray, opacity: jnp.ndarray,
+                     rect_min: jnp.ndarray, rect_max: jnp.ndarray,
+                     tiles_touched: jnp.ndarray, tile: int = 16):
+    """Exact conic-vs-tile pair culling over a 64-offset window.
+
+    A (gaussian, tile) pair contributes iff some pixel of the tile reaches
+    alpha >= 1/255, i.e. rho = min(rho3d, rho2d) <= thr = 2·ln(255·o)
+    (blend_pallas._splat_terms masks exactly this; forward.cu:386). With the
+    affine ray coefficients A = Tv×Tw, B = Tw×Tu, C = Tu×Tv and
+    p = x·A + y·B + C, rho3d <= thr ⟺
+      Q(x,y) = p0² + p1² − thr·p2² <= 0,
+    a conic; when it is an ellipse (qa>0, 4·qa·qb−qc²>0) its x-projection
+    over a horizontal pixel strip is a closed-form interval (roots at the
+    strip bounds ∪ the ellipse x-extremes when their y lies inside). The
+    rho2d region is a disk of radius sqrt(thr/2) around the low-pass center.
+    Per rect row we keep only the tile columns hit by either interval; rows
+    are solved for the first CULL_ROWS rows / CULL_WINDOW row-major offsets
+    and packed into a 64-bit keep-bitmask (everything beyond stays kept, as
+    do non-elliptic / non-finite lanes — culling less is always correct).
+
+    Culling a pair is BIT-EXACT: every pixel of a culled tile fails the
+    kernels' alpha >= 1/255 mask identically, so output and gradients are
+    unchanged (same argument as the opacity-aware rect shrink above, applied
+    per tile instead of per box; the CUDA reference bins the full rect and
+    relies on the same in-kernel mask). Margins: the strip/interval bounds
+    are padded by 1 px and thr is inflated 1e-4 relative so f32 rounding of
+    the kernel's per-pixel rho can never disagree with the cull test; the
+    interval arithmetic runs in xy-centered local coordinates (magnitudes ~
+    splat extent) to keep the quadratic-root cancellation benign.
+
+    Returns (mask_lo, mask_hi, tiles_kept): two [N] uint32 bit words and the
+    int32 per-gaussian kept-offset count (popcount + offsets beyond the
+    window); index data only (wrapped in stop_gradient).
+    """
+    f32 = jnp.float32
+    pad = 1.0
+    tile_f = float(tile)
+    T = jax.lax.stop_gradient(T).astype(f32)
+    xy = jax.lax.stop_gradient(xy).astype(f32)
+    opa = jnp.clip(jnp.reshape(jax.lax.stop_gradient(opacity), (-1,)
+                               ).astype(f32), 1e-12, 1.0)
+    thr = 2.0 * jnp.log(255.0 * opa)
+    thr = thr * (1.0 + 1e-4) + 1e-4          # keep strictly more than the kernel
+    Tu, Tv, Tw = T[:, 0, :], T[:, 1, :], T[:, 2, :]
+    A = jnp.cross(Tv, Tw)
+    B = jnp.cross(Tw, Tu)
+    C = jnp.cross(Tu, Tv)
+    qa = A[:, 0] ** 2 + A[:, 1] ** 2 - thr * A[:, 2] ** 2
+    qb = B[:, 0] ** 2 + B[:, 1] ** 2 - thr * B[:, 2] ** 2
+    qc = 2.0 * (A[:, 0] * B[:, 0] + A[:, 1] * B[:, 1] - thr * A[:, 2] * B[:, 2])
+    qd = 2.0 * (A[:, 0] * C[:, 0] + A[:, 1] * C[:, 1] - thr * A[:, 2] * C[:, 2])
+    qe = 2.0 * (B[:, 0] * C[:, 0] + B[:, 1] * C[:, 1] - thr * B[:, 2] * C[:, 2])
+    qf = C[:, 0] ** 2 + C[:, 1] ** 2 - thr * C[:, 2] ** 2
+    # recenter on the low-pass center (inside the splat): root magnitudes
+    # drop from ~pixel-coordinates to ~splat-extent, taming f32 cancellation
+    cx, cy = xy[:, 0], xy[:, 1]
+    qd_l = 2.0 * qa * cx + qc * cy + qd
+    qe_l = qc * cx + 2.0 * qb * cy + qe
+    qf_l = ((qa * cx + qc * cy + qd) * cx + (qb * cy + qe) * cy + qf)
+    det4 = 4.0 * qa * qb - qc * qc
+    fin = (jnp.isfinite(qa) & jnp.isfinite(qb) & jnp.isfinite(qc)
+           & jnp.isfinite(qd_l) & jnp.isfinite(qe_l) & jnp.isfinite(qf_l))
+    ok_ell = fin & (qa > 0.0) & (qb > 0.0) & (det4 > 1e-9 * (4.0 * qa * qb))
+    qa_s = jnp.where(qa > 0, qa, 1.0)
+    qb_s = jnp.where(qb > 0, qb, 1.0)
+    inv2a = 0.5 / qa_s
+
+    # global ellipse x-extremes (∂Q/∂y = 0 substituted): aa = det4/(4 qb)
+    aa = det4 / (4.0 * qb_s)
+    bb_g = qd_l - qc * qe_l / (2.0 * qb_s)
+    cc_g = qf_l - qe_l * qe_l / (4.0 * qb_s)
+    disc_g = bb_g * bb_g - 4.0 * aa * cc_g
+    aa_s = jnp.where(aa > 0, aa, 1.0)
+    ok_g = ok_ell & (disc_g >= 0.0) & (aa > 0.0)
+    sq_g = jnp.sqrt(jnp.maximum(disc_g, 0.0))
+    xg_lo = (-bb_g - sq_g) / (2.0 * aa_s)
+    xg_hi = (-bb_g + sq_g) / (2.0 * aa_s)
+    yg_lo = -(qc * xg_lo + qe_l) / (2.0 * qb_s)
+    yg_hi = -(qc * xg_hi + qe_l) / (2.0 * qb_s)
+
+    r2d2 = jnp.maximum(thr, 0.0) / FILTER_INV_SQUARE  # low-pass disk radius²
+
+    rw = jnp.maximum(rect_max[:, 0] - rect_min[:, 0], 1).astype(jnp.int32)
+    rh = jnp.maximum(rect_max[:, 1] - rect_min[:, 1], 0).astype(jnp.int32)
+    BIG = jnp.float32(3e38)
+
+    def roots_at(yv):
+        bb = qc * yv + qd_l
+        cc = (qb * yv + qe_l) * yv + qf_l
+        disc = bb * bb - 4.0 * qa * cc
+        ok = ok_ell & (disc >= 0.0)
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        return ok, (-bb - sq) * inv2a, (-bb + sq) * inv2a
+
+    mlo = jnp.zeros_like(rw, dtype=jnp.uint32)
+    mhi = jnp.zeros_like(rw, dtype=jnp.uint32)
+    for dy in range(CULL_ROWS):
+        ty = (rect_min[:, 1] + dy).astype(f32)
+        a0 = ty * tile_f - cy                  # local strip [a0, b0] (pixels)
+        b0 = a0 + (tile_f - 1.0)
+        a, b = a0 - pad, b0 + pad
+        okA, loA, hiA = roots_at(a)
+        okB, loB, hiB = roots_at(b)
+        okGl = ok_g & (yg_lo >= a) & (yg_lo <= b)
+        okGh = ok_g & (yg_hi >= a) & (yg_hi <= b)
+        xlo_e = jnp.minimum(jnp.minimum(jnp.where(okA, loA, BIG),
+                                        jnp.where(okB, loB, BIG)),
+                            jnp.where(okGl, xg_lo, BIG))
+        xhi_e = jnp.maximum(jnp.maximum(jnp.where(okA, hiA, -BIG),
+                                        jnp.where(okB, hiB, -BIG)),
+                            jnp.where(okGh, xg_hi, -BIG))
+        dyd = jnp.maximum(jnp.maximum(a0, -b0), 0.0)
+        disk_ok = r2d2 >= dyd * dyd
+        s_d = jnp.sqrt(jnp.maximum(r2d2 - dyd * dyd, 0.0))
+        xlo = jnp.minimum(xlo_e, jnp.where(disk_ok, -s_d, BIG)) - pad
+        xhi = jnp.maximum(xhi_e, jnp.where(disk_ok, s_d, -BIG)) + pad
+        empty = xlo > xhi
+        clo = jnp.floor(jnp.clip((xlo + cx) / tile_f, -1e9, 1e9)
+                        ).astype(jnp.int32)
+        chi = jnp.floor(jnp.clip((xhi + cx) / tile_f, -1e9, 1e9)
+                        ).astype(jnp.int32)
+        dxlo = jnp.clip(clo - rect_min[:, 0], 0, rw)
+        dxhi = jnp.clip(chi + 1 - rect_min[:, 0], 0, rw)
+        row_on = (dy < rh) & ~empty & (dxhi > dxlo)
+        base = jnp.int32(dy) * rw
+        s_bit = jnp.where(row_on, base + dxlo, 0)
+        e_bit = jnp.where(row_on, base + dxhi, 0)
+        rlo, rhi = _mask_range(jnp.minimum(s_bit, CULL_WINDOW),
+                               jnp.minimum(e_bit, CULL_WINDOW))
+        mlo = mlo | rlo
+        mhi = mhi | rhi
+
+    # rows past CULL_ROWS keep all their in-window offsets
+    s_late = jnp.minimum(jnp.minimum(rh, CULL_ROWS) * rw, CULL_WINDOW)
+    e_late = jnp.minimum(rh * rw, CULL_WINDOW)
+    llo, lhi = _mask_range(s_late, e_late)
+    mlo = mlo | llo
+    mhi = mhi | lhi
+
+    # non-elliptic / non-finite lanes keep everything
+    alo, ahi = _mask_below(jnp.minimum(rh * rw, CULL_WINDOW))
+    mlo = jnp.where(ok_ell, mlo, alo)
+    mhi = jnp.where(ok_ell, mhi, ahi)
+
+    n_beyond = jnp.maximum(rh * rw - CULL_WINDOW, 0)
+    kept = (jax.lax.population_count(mlo).astype(jnp.int32)
+            + jax.lax.population_count(mhi).astype(jnp.int32) + n_beyond)
+    tiles_kept = jnp.where(tiles_touched > 0, kept, 0).astype(jnp.int32)
+    return mlo, mhi, tiles_kept
 
 
 def mark_visible(xyz: jnp.ndarray, w2v: jnp.ndarray) -> jnp.ndarray:

@@ -78,6 +78,18 @@ class RasterizeConfig:
     # wins early in geometry training (init 0.1) and after opacity resets
     # (0.01). radii/visibility keep opacity-blind reference semantics.
     opacity_cull: bool = True
+    # exact conic-vs-tile pair culling (preprocess.conic_cull_masks): drop
+    # every (gaussian, tile) pair whose tile cannot reach alpha >= 1/255
+    # anywhere — output-preserving for the same reason as opacity_cull
+    # (test_conic_cull_exact). Default OFF: it cuts only 9-11% of pairs at
+    # both bench profiles while the per-row interval decode adds ~5 ms to
+    # binning and the rank→offset bit-rank decode rides every pair chain,
+    # a measured net loss at 976x728 (12.4→11.7 it/s) AND 1080p (19.4→18.0
+    # fps uniform, 20.4→19.0 trained) once the gather-size cliff is
+    # controlled (bench_probes/probe_geo4.py, probe_fps3.py; docs/
+    # PERFORMANCE.md round 4). Opt in for scenes whose splats span many
+    # tiles with long dead corners. Requires opacity_cull (needs opacity).
+    conic_cull: bool = False
 
     def resolved(self, n: int) -> "RasterizeConfig":
         # auto caps are deliberately tight — the sort is O(pair_cap); callers
@@ -96,12 +108,19 @@ class RasterizeConfig:
             chunk = self.pallas_chunk
             # the visit layout indexes sorted pairs by whole chunks
             pair_cap = ((pair_cap + chunk - 1) // chunk) * chunk
+            # snap to a measured fast-gather size: XLA's row gather is
+            # bimodal (2-8x!) in the row count with no usable size rule —
+            # see ops/gather_tune.py. Growing a cap is always safe.
+            from .gather_tune import fast_gather_cap
+            pair_cap = fast_gather_cap(pair_cap, dim=21, src_rows=n + 1,
+                                       chunk=chunk)
         tile_cap = ((tile_cap + chunk - 1) // chunk) * chunk
         return RasterizeConfig(self.width, self.height, self.tile, chunk,
                                pair_cap, tile_cap, self.track_contrib, impl,
                                self.bwd_extras_only, self.pallas_chunk,
                                self.fwd_viewer, self.clip_rect,
-                               self.no_depth_dist, self.opacity_cull)
+                               self.no_depth_dist, self.opacity_cull,
+                               self.conic_cull)
 
 
 def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
@@ -215,7 +234,8 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
         means3d, scales, rotations, w2v, full_proj, campos, width, height,
         color=colors, shs=shs, sh_degree=sh_degree, tile=cfg.tile, alive=alive,
         y_offset=y_offset, full_height=full_height,
-        opacity=opacities if cfg.opacity_cull else None)
+        opacity=opacities if cfg.opacity_cull else None,
+        conic_cull=cfg.conic_cull and cached_binning is None)
     guard_ok = None
     if coherent_guard is not None:
         dil_min, dil_max, need0 = coherent_guard
@@ -478,13 +498,15 @@ class VisitBinningCache(NamedTuple):
 
 @partial(jax.jit, static_argnames=("width", "height", "tile", "pair_cap",
                                    "tile_cap", "layout", "align",
-                                   "dilate_tiles"))
+                                   "dilate_tiles", "conic_cull"))
 def _binning_cache_impl(xyz, scales, rotations, alive, w2v, full_proj, campos,
                         width, height, tile, pair_cap, tile_cap, layout,
-                        align=128, dilate_tiles=0, opacity=None):
+                        align=128, dilate_tiles=0, opacity=None,
+                        conic_cull=False):
     pre = preprocess_gaussians(xyz, scales, rotations, w2v, full_proj, campos,
                                width, height, color=xyz * 0.0, tile=tile,
-                               alive=alive, opacity=opacity)
+                               alive=alive, opacity=opacity,
+                               conic_cull=conic_cull and not dilate_tiles)
     b = bin_gaussians(pre, width, height, pair_cap, tile_cap, tile=tile,
                       layout=layout, align=align, dilate_tiles=dilate_tiles)
     if layout == "visits":
@@ -516,7 +538,8 @@ def compute_binning_cache(params, cam: CameraMats, width: int, height: int,
                           tile: int = 16, pair_cap: int = 0,
                           tile_cap: int = 0, impl: str = "auto",
                           pallas_chunk: int = 128, dilate_tiles: int = 0,
-                          opacity_cull: bool = True):
+                          opacity_cull: bool = True,
+                          conic_cull: bool = False):
     """Precompute the frozen-geometry binning for one camera. Returns
     (cache_tuple, tile_count, n_dropped); pass cache_tuple as
     rasterize(..., cached_binning=...). dilate_tiles expands every rect for
@@ -534,4 +557,5 @@ def compute_binning_cache(params, cam: CameraMats, width: int, height: int,
         params.alive, cam.w2v, cam.full_proj, cam.campos,
         cfg.width, cfg.height, cfg.tile, cfg.pair_cap, cfg.tile_cap, layout,
         align=cfg.pallas_chunk, dilate_tiles=dilate_tiles,
-        opacity=params.opacity_activated() if opacity_cull else None)
+        opacity=params.opacity_activated() if opacity_cull else None,
+        conic_cull=conic_cull and opacity_cull)

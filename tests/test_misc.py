@@ -388,3 +388,41 @@ def test_cfg_auto_selects_no_depth_dist():
     # explicit override is never second-guessed
     assert not GeometryTrainer._cfg(
         stub(1.0, {"no_depth_dist": False}), cam, lam_dist=0.0).no_depth_dist
+
+
+def test_gather_tune_pick_logic(monkeypatch):
+    """fast_gather_cap (ops/gather_tune.py) snaps a pair cap to the nearby
+    candidate with the fastest measured dummy-gather, preferring the
+    SMALLEST within tolerance, caching picks, and never touching the cap on
+    CPU backends (the mode cliff is a TPU-runtime artifact)."""
+    from instascene_tpu.ops import gather_tune as gt
+
+    gt.reset_gather_tune_cache()
+    # CPU backend (this test suite's backend): hard no-op — no measurement
+    calls = []
+    monkeypatch.setattr(gt, "_time_gather",
+                        lambda *a: calls.append(a) or 1.0)
+    assert gt.fast_gather_cap(1_200_128) == 1_200_128
+    assert calls == []
+
+    # force-enable to exercise the pick logic with fake timings
+    monkeypatch.setattr(gt, "_enabled", lambda: True)
+    fake = {1_200_128: 61.0, 1_200_256: 7.6, 1_200_384: 7.2}
+    monkeypatch.setattr(gt, "_time_gather",
+                        lambda cap, dim, rows: fake[cap])
+    # 7.6 is within 12% of the best (7.2) → smallest fast candidate wins
+    assert gt.fast_gather_cap(1_200_128, dim=21, src_rows=300_002) == 1_200_256
+    # cached: a later call must not re-measure (poison the table to prove it)
+    monkeypatch.setattr(gt, "_time_gather",
+                        lambda *a: (_ for _ in ()).throw(AssertionError))
+    assert gt.fast_gather_cap(1_200_128, dim=21, src_rows=300_002) == 1_200_256
+    gt.reset_gather_tune_cache()
+    # measurement failure (e.g. OOM at cap+2 chunks) must never be fatal
+    assert gt.fast_gather_cap(1_200_128, dim=21, src_rows=300_002) == 1_200_128
+    # already-fast cap stays put
+    gt.reset_gather_tune_cache()
+    fake2 = {512_000: 3.0, 512_128: 3.0, 512_256: 2.9}
+    monkeypatch.setattr(gt, "_time_gather",
+                        lambda cap, dim, rows: fake2[cap])
+    assert gt.fast_gather_cap(512_000, dim=21, src_rows=100) == 512_000
+    gt.reset_gather_tune_cache()

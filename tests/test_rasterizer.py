@@ -344,8 +344,12 @@ def test_forward_matches_committed_goldens():
                     jnp.asarray(cam.camera_center))
     bg = jnp.asarray([0.1, 0.2, 0.3])
     for impl in ("xla", "pallas"):
+        # conic_cull=False: the goldens anchor the unculled pair-list
+        # semantics (n_contrib counts EVERY binned slot, dead or not);
+        # test_conic_cull_exact separately proves the culled path's float
+        # maps are identical and its n_contrib shift is slot-removal only.
         cfg = RasterizeConfig(width=W_, height=H_, chunk=16, pair_cap=8192,
-                              tile_cap=256, impl=impl)
+                              tile_cap=256, impl=impl, conic_cull=False)
         out = rasterize(jnp.asarray(g["inputs_xyz"]),
                         jnp.asarray(g["inputs_scales"]),
                         jnp.asarray(g["inputs_rots"]),
@@ -416,3 +420,112 @@ def test_opacity_cull_exact(scene):
     for ga, gb in zip(g0, g1):
         assert np.allclose(np.asarray(ga), np.asarray(gb), atol=1e-5), \
             np.abs(np.asarray(ga) - np.asarray(gb)).max()
+
+
+def test_conic_cull_exact(scene):
+    """Exact conic-vs-tile pair culling (RasterizeConfig.conic_cull /
+    preprocess.conic_cull_masks) must be output-preserving: the conic-on
+    pair list is a duplicate-free SUBSET of the conic-off list, every
+    removed (gaussian, tile) pair fails the in-kernel alpha >= 1/255 mask at
+    EVERY pixel of its tile (brute-force min-rho > thr check — the same
+    mask as forward.cu:386), and the rendered maps match. Gradients match
+    up to chunked-scan reassociation noise (removing a provably-zero entry
+    shifts later entries across log-step roll groupings), hence the
+    relative tolerance; the subset + deadness assertions are the exactness
+    proof."""
+    from instascene_tpu.ops.preprocess import FILTER_INV_SQUARE
+
+    cam, g = scene
+    xyz, scales, rots, _, color, extra = g
+    rng2 = np.random.default_rng(11)
+    n = xyz.shape[0]
+    opac = np.concatenate([
+        rng2.uniform(0.002, 0.05, 20), rng2.uniform(0.05, 0.5, n - 40),
+        rng2.uniform(0.5, 0.999, 20)]).astype(np.float32)
+    scales = np.exp(rng2.normal(-2.0, 1.0, (n, 2))).astype(np.float32)
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+
+    # 1) pair multisets: conic-on ⊆ conic-off, no duplicates, removed dead
+    pre = {}
+    for conic in (False, True):
+        pre[conic] = preprocess_gaussians(
+            jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(rots),
+            jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+            jnp.asarray(cam.camera_center), W, H, color=jnp.asarray(color),
+            opacity=jnp.asarray(opac), conic_cull=conic)
+
+    def pairlist(p):
+        b = bin_gaussians(p, W, H, 8192, 1024, layout="padded")
+        gx = (W + 15) // 16
+        num_tiles = gx * ((H + 15) // 16)
+        sg = np.asarray(b.sorted_gid)
+        ts = np.asarray(b.tile_start)
+        tc = np.asarray(b.tile_count)
+        return [(t, int(sg[j])) for t in range(num_tiles)
+                for j in range(ts[t], ts[t] + tc[t])]
+
+    on, off = pairlist(pre[True]), pairlist(pre[False])
+    assert len(set(on)) == len(on)
+    assert set(on) <= set(off)
+    removed = set(off) - set(on)
+    assert removed, "conic culling removed nothing on this scene"
+    T = np.asarray(pre[False].T)
+    xyc = np.asarray(pre[False].xy)
+    gx = (W + 15) // 16
+    for (t, gi) in removed:
+        tx0, ty0 = (t % gx) * 16, (t // gx) * 16
+        xs, ys = np.meshgrid(np.arange(tx0, tx0 + 16),
+                             np.arange(ty0, ty0 + 16))
+        A = np.cross(T[gi, 1], T[gi, 2])
+        B = np.cross(T[gi, 2], T[gi, 0])
+        Cc = np.cross(T[gi, 0], T[gi, 1])
+        p0 = xs * A[0] + ys * B[0] + Cc[0]
+        p1 = xs * A[1] + ys * B[1] + Cc[1]
+        p2 = xs * A[2] + ys * B[2] + Cc[2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rho3 = (p0 / p2) ** 2 + (p1 / p2) ** 2
+        rho2 = FILTER_INV_SQUARE * ((xs - xyc[gi, 0]) ** 2
+                                    + (ys - xyc[gi, 1]) ** 2)
+        rho = np.minimum(np.where(np.isfinite(rho3), rho3, np.inf), rho2)
+        thr = 2 * np.log(255.0 * max(float(opac[gi]), 1e-12))
+        assert rho.min() > thr, (t, gi, rho.min(), thr)
+
+    # 2) rendered maps + grads on both impls
+    for impl in ("xla", "pallas"):
+        outs, pairs = {}, {}
+        for conic in (False, True):
+            cfg = RasterizeConfig(width=W, height=H, chunk=16,
+                                  pair_cap=8192, tile_cap=1024, impl=impl,
+                                  conic_cull=conic)
+
+            def loss(xyz_, scales_, rots_, opac_, color_, extra_):
+                o = rasterize(xyz_, scales_, rots_, opac_, cm, bg, cfg,
+                              colors=color_, extras=extra_)
+                b = o.blend
+                s = (jnp.sum(b.color * 0.7) + jnp.sum(b.depth * 0.3)
+                     + jnp.sum(b.normal * 0.1) + jnp.sum(b.distortion * 0.2)
+                     + jnp.sum(b.extra * 0.05) + jnp.sum(b.alpha))
+                return s, o
+
+            (v, o), gr = jax.value_and_grad(
+                loss, argnums=(0, 1, 2, 3, 4, 5), has_aux=True)(
+                jnp.asarray(xyz), jnp.asarray(scales), jnp.asarray(rots),
+                jnp.asarray(opac), jnp.asarray(color), jnp.asarray(extra))
+            assert int(o.n_dropped) == 0
+            outs[conic] = (v, o, gr)
+            pairs[conic] = int(o.total_pairs)
+        assert pairs[True] < pairs[False], pairs
+        v0, o0, g0 = outs[False]
+        v1, o1, g1 = outs[True]
+        assert np.array_equal(np.asarray(o0.radii), np.asarray(o1.radii))
+        for k in ("color", "depth", "alpha", "normal", "median_depth",
+                  "distortion", "extra", "final_T"):
+            a = np.asarray(getattr(o0.blend, k))
+            b = np.asarray(getattr(o1.blend, k))
+            assert np.allclose(a, b, atol=1e-6), (impl, k, np.abs(a - b).max())
+        for ga, gb in zip(g0, g1):
+            ga, gb = np.asarray(ga), np.asarray(gb)
+            assert np.allclose(ga, gb, rtol=1e-3, atol=1e-4), \
+                (impl, np.abs(ga - gb).max())
