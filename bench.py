@@ -375,92 +375,6 @@ def bench_render_fps(params, make_cam, width=1920, height=1080, iters=20,
     return iters / (time.perf_counter() - t0)
 
 
-def bench_gui_coherent_fps(params, make_cam, width=1920, height=1080,
-                           iters=20, dilate=1):
-    # dilate=1: at this scene's 1-2-tile rects, dilate=2 builds a ~19M-slot
-    # cached pair list whose visit arrays exceed the kernel's SMEM scalar-
-    # prefetch budget (ops/blend_visits.VISIT_SMEM_BUDGET_BYTES) — the
-    # wrapper now rejects it with the same guidance.
-    """The interactive GUI loop with the frame-coherent binning cache
-    (render.CoherentViewerBinning): per frame = preprocess + containment
-    check + rect-clipped pack gather + viewer kernel over the dilated
-    cached bundle — no re-binning. One bundle build up front (amortized
-    over the reuse window in product use)."""
-    import jax
-    import jax.numpy as jnp
-
-    from instascene_tpu.ops.binning import dilate_rects
-    from instascene_tpu.ops.blend_pallas import pack_flat_cols
-    from instascene_tpu.ops.blend_visits import blend_fwd_pallas_visits
-    from instascene_tpu.ops.preprocess import preprocess_gaussians
-    from instascene_tpu.ops.rasterize import (CameraMats,
-                                              compute_binning_cache)
-
-    tile = 16
-    grid_x = (width + 15) // 16
-    grid_y = (height + 15) // 16
-    num_tiles = grid_x * grid_y
-    cam = make_cam(0, width, height)
-    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
-                    jnp.asarray(cam.camera_center))
-    cb, _, nd = compute_binning_cache(params, cm, width, height,
-                                      impl="pallas", pair_cap=0,
-                                      dilate_tiles=dilate)
-    cap = cb[0].shape[0]
-    while int(nd) > 0:
-        cap *= 2
-        cb, _, nd = compute_binning_cache(params, cm, width, height,
-                                          impl="pallas", pair_cap=cap,
-                                          dilate_tiles=dilate)
-    gid, vc, vt, vs0, vs1, vts = [jnp.asarray(a) for a in cb[:6]]
-    xyz, sc, rot = (params.xyz, params.scaling_activated(),
-                    params.rotation_normalized())
-    opa = params.opacity_activated()[:, 0]
-    seg = params.seg_feature_normed()
-    shs = params.features()
-
-    pre0 = preprocess_gaussians(xyz, sc, rot, cm.w2v, cm.full_proj,
-                                cm.campos, width, height, shs=shs,
-                                sh_degree=3, tile=tile, alive=params.alive)
-    dmin, dmax, _ = dilate_rects(pre0.rect_min, pre0.rect_max,
-                                 pre0.tiles_touched, grid_x, grid_y, dilate)
-    need0 = pre0.tiles_touched > 0
-
-    @jax.jit
-    def frame(s):
-        pre = preprocess_gaussians(xyz + s * 1e-30, sc, rot, cm.w2v,
-                                   cm.full_proj, cm.campos, width, height,
-                                   shs=shs, sh_degree=3, tile=tile,
-                                   alive=params.alive)
-        need = pre.tiles_touched > 0
-        ok = jnp.all(~need | (need0
-                              & jnp.all(pre.rect_min >= dmin, axis=-1)
-                              & jnp.all(pre.rect_max <= dmax, axis=-1)))
-        has = pre.tiles_touched > 0
-        rect = (pre.rect_min,
-                jnp.where(has[:, None], pre.rect_max, pre.rect_min))
-        flat = pack_flat_cols(pre.T, pre.xy, pre.normal_view, opa, pre.color,
-                              seg, rect=rect)
-        packed = flat[gid]
-        interp = jax.default_backend() == "cpu"
-        f = blend_fwd_pallas_visits(packed, vt, vc, vs0, vs1, vts, num_tiles,
-                                    tile, grid_x, 16, interp, viewer=True,
-                                    clip_rect=True)
-        return (s + 1e-20 * (f.out[0, 0, 0] + ok.astype(jnp.float32)
-                             + f.iout[0, 0, 0].astype(jnp.float32)))
-
-    x = frame(jnp.zeros(()))
-    float(x)
-    for _ in range(WARMUP_ITERS):
-        x = frame(x)
-    float(x)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = frame(x)
-    float(x)
-    return iters / (time.perf_counter() - t0)
-
-
 def bench_tracker_view(params, make_cam, width=976, height=728, iters=5):
     """Priors-stage tracker render (track_contrib=True -> Pallas top-K
     contributor mode, round-3) — seconds per view at waldo scale."""
@@ -540,11 +454,6 @@ def main():
     except Exception as e:
         extra["gui_fps_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
-        extra["gui_coherent_1080p_fps"] = round(
-            bench_gui_coherent_fps(params, make_cam), 2)
-    except Exception as e:
-        extra["gui_coherent_error"] = f"{type(e).__name__}: {e}"[:200]
-    try:
         # 4K exercises the sequential tile-slab fallback (the visit arrays
         # of a single 3840x2160 launch exceed the SMEM scalar-prefetch
         # budget; ops/rasterize._slab_plan splits the frame)
@@ -569,8 +478,6 @@ def main():
              lambda: bench_render_fps(tp_params, tp_cam)),
             ("trained_gui_render_1080p_fps",
              lambda: bench_render_fps(tp_params, tp_cam, viewer=True)),
-            ("trained_gui_coherent_1080p_fps",
-             lambda: bench_gui_coherent_fps(tp_params, tp_cam)),
             ("trained_geometry_train_its",
              lambda: bench_geometry(tp_params, tp_cam)),
     ):

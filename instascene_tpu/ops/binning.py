@@ -289,9 +289,9 @@ def bin_gaussians(pre: PreprocessOut, width: int, height: int,
     aligned-layout chunk size (must equal the Pallas kernels' chunk).
 
     dilate_tiles > 0 expands every visible gaussian's tile rect by that many
-    tiles per side (clamped to the grid) — the frame-coherent viewer cache
-    builds a binning valid for any nearby camera whose fresh rects stay
-    inside the dilated ones (render.CoherentViewerBinning)."""
+    tiles per side (clamped to the grid), building a SUPERSET binning valid
+    for any nearby camera whose fresh rects stay inside the dilated ones
+    (rendered exactly through cfg.clip_rect's in-kernel rect gate)."""
     n = pre.depth.shape[0]
     grid_x = (width + tile - 1) // tile
     grid_y = (height + tile - 1) // tile

@@ -74,7 +74,7 @@ def pack_flat_cols(T_used, xy, normal_view, opacities, color, extras=None,
     if extras is not None:
         cols.append(extras)
     if rect is not None:
-        # clip_rect mode (frame-coherent cached binning): the per-gaussian
+        # clip_rect mode (cached-superset binning): the per-gaussian
         # tile rect as 4 trailing f32 columns (rmin_x, rmax_x, rmin_y,
         # rmax_y — exact ints < 2^24); the kernels gate contributions by
         # tile ∈ rect so a cached SUPERSET pair list reproduces the fresh

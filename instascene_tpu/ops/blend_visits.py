@@ -40,7 +40,7 @@ from .preprocess import FAR_N, FILTER_INV_SQUARE, NEAR_N
 # prefetched WHOLE into SMEM (1 MiB on v5e, shared with grid bookkeeping).
 # Past ~46k visits Mosaic fails with an opaque "Ran out of memory in memory
 # space smem" at compile time — fail early with the knobs that shrink the
-# visit count instead. (Measured: a dilate=2 coherent-viewer cache at 1080p
+# visit count instead. (Measured: a dilate=2 cached-superset bundle at 1080p
 # with 300k gaussians builds 19.2M pair slots = 158k visits = 3.03 MiB.)
 VISIT_SMEM_BUDGET_BYTES = 900 * 1024
 
@@ -54,7 +54,7 @@ def _check_visit_budget(n_visits: int, interpret: bool) -> None:
             f"visit layout needs {need // 1024} KiB of SMEM scalar prefetch "
             f"({n_visits} visits x 5 s32 arrays) but the TPU budget is "
             f"~{VISIT_SMEM_BUDGET_BYTES // 1024} KiB. Shrink the pair list: "
-            "lower dilate_tiles (a frame-coherent cache grows the pair list "
+            "lower dilate_tiles (a dilated cached-superset bundle grows the pair list "
             "~(1 + 2d/rect_tiles)^2), keep pair_cap snug, or split the "
             "frame into tile slabs (parallel/render_sharded.py).")
 

@@ -56,10 +56,14 @@ class RasterizeConfig:
     # color + alpha [+ feature] maps; depth/normal/median/distortion outputs
     # are ZERO and gradients do not flow. ~40% less kernel work per frame.
     fwd_viewer: bool = False
-    # cached-superset mode (frame-coherent viewer binning): pack the FRESH
-    # per-gaussian tile rect into the attribute rows and gate contributions
-    # by tile ∈ rect in-kernel, so a cached (dilated) pair list reproduces
-    # fresh binning's rect clipping exactly. Pallas visit kernels only.
+    # cached-superset mode: pack the FRESH per-gaussian tile rect into the
+    # attribute rows and gate contributions by tile ∈ rect in-kernel, so a
+    # cached SUPERSET pair list (e.g. a tile-dilated bundle built at a
+    # nearby camera) reproduces fresh binning's rect clipping exactly
+    # (test_coherent.py pins this). Pallas visit kernels only. The
+    # frame-coherent GUI cache built on it was FOLDED in round 4 — the
+    # arithmetic cannot win (docs/PERFORMANCE.md round 4); the kernel mode
+    # stays for cached-superset callers.
     clip_rect: bool = False
     # compile-time skip of the distortion + expected-depth machinery (the
     # per-visit m1/m2 pair scan in the forward, the md/dist/depth grad
@@ -215,12 +219,6 @@ class RasterizeOut(NamedTuple):
     n_dropped: jnp.ndarray    # [] int32 binning overflow diagnostic
     T: jnp.ndarray            # [N,3,3] splat→pixel transforms (pre-offset)
     total_pairs: jnp.ndarray  # [] int32 true (gaussian, tile) pair count
-    # frame-coherent cached-binning guard (render.CoherentViewerBinning):
-    # True iff every gaussian producing pairs at THIS camera also produced
-    # pairs at the cache camera and its fresh rect lies inside the cached
-    # dilated rect — computed from the SAME preprocess the frame uses, so
-    # the guard costs no extra projection pass
-    guard_ok: Optional[jnp.ndarray] = None
 
 
 @partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cfg",
@@ -228,21 +226,13 @@ class RasterizeOut(NamedTuple):
 def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                     campos, bg, colors, shs, extras, t_offset, alive,
                     cached_binning, width, height, sh_degree,
-                    cfg: RasterizeConfig, y_offset=None, full_height=None,
-                    coherent_guard=None):
+                    cfg: RasterizeConfig, y_offset=None, full_height=None):
     pre = preprocess_gaussians(
         means3d, scales, rotations, w2v, full_proj, campos, width, height,
         color=colors, shs=shs, sh_degree=sh_degree, tile=cfg.tile, alive=alive,
         y_offset=y_offset, full_height=full_height,
         opacity=opacities if cfg.opacity_cull else None,
         conic_cull=cfg.conic_cull and cached_binning is None)
-    guard_ok = None
-    if coherent_guard is not None:
-        dil_min, dil_max, need0 = coherent_guard
-        need = pre.tiles_touched > 0
-        covered = (need0 & jnp.all(pre.rect_min >= dil_min, axis=-1)
-                   & jnp.all(pre.rect_max <= dil_max, axis=-1))
-        guard_ok = jnp.all(~need | covered)
     if cached_binning is not None:
         # frozen-geometry fast path (semantic training): the per-camera tile
         # lists are constant, so the expand+sort is skipped entirely.
@@ -289,8 +279,7 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                             visible=pre.valid & (pre.radius > 0),
                             depth=pre.depth,
                             n_dropped=binning.n_dropped,
-                            T=pre.T, total_pairs=binning.total_pairs,
-                            guard_ok=guard_ok)
+                            T=pre.T, total_pairs=binning.total_pairs)
     packT = jnp.concatenate([T_used.reshape(n, 9),
                              jnp.zeros((1, 9), T_used.dtype)], axis=0)
     pad1 = lambda a: jnp.concatenate(
@@ -308,8 +297,7 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                         visible=pre.valid & (pre.radius > 0),
                         depth=pre.depth,
                         n_dropped=binning.n_dropped,
-                        T=pre.T, total_pairs=binning.total_pairs,
-                        guard_ok=guard_ok)
+                        T=pre.T, total_pairs=binning.total_pairs)
 
 
 def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
@@ -321,8 +309,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
               t_offset: Optional[jnp.ndarray] = None,
               alive: Optional[jnp.ndarray] = None,
               cached_binning=None, y_offset=None,
-              full_height: Optional[int] = None,
-              coherent_guard=None) -> RasterizeOut:
+              full_height: Optional[int] = None) -> RasterizeOut:
     """Rasterize 2D Gaussian surfels.
 
     means3d [N,3]; scales [N,2] (activated); rotations [N,4] (w,x,y,z);
@@ -332,8 +319,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
     rendering): render pixel rows [y_offset, y_offset+cfg.height) of a
     full_height-tall image — the basis of image-space sharded rendering."""
     cfg = cfg.resolved(means3d.shape[0])
-    if (cached_binning is None and y_offset is None and full_height is None
-            and coherent_guard is None):
+    if cached_binning is None and y_offset is None and full_height is None:
         plan = _slab_plan(cfg)
         if plan is not None:
             return _rasterize_slabs(means3d, scales, rotations, opacities,
@@ -343,7 +329,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
                            cam.w2v, cam.full_proj, cam.campos, bg,
                            colors, shs, extras, t_offset, alive,
                            cached_binning, cfg.width, cfg.height, sh_degree,
-                           cfg, y_offset, full_height, coherent_guard)
+                           cfg, y_offset, full_height)
 
 
 def _slab_plan(cfg: RasterizeConfig):
@@ -433,7 +419,7 @@ def _rasterize_slabs(means3d, scales, rotations, opacities, cam: CameraMats,
         total = total + o.total_pairs
     return RasterizeOut(blend=blend, radii=radii, visible=visible,
                         depth=outs[0].depth, n_dropped=n_dropped,
-                        T=outs[0].T, total_pairs=total, guard_ok=None)
+                        T=outs[0].T, total_pairs=total)
 
 
 def rasterize_extras_tiles(means3d, scales, rotations, opacities,
@@ -542,8 +528,9 @@ def compute_binning_cache(params, cam: CameraMats, width: int, height: int,
                           conic_cull: bool = False):
     """Precompute the frozen-geometry binning for one camera. Returns
     (cache_tuple, tile_count, n_dropped); pass cache_tuple as
-    rasterize(..., cached_binning=...). dilate_tiles expands every rect for
-    the frame-coherent viewer cache (render.CoherentViewerBinning).
+    rasterize(..., cached_binning=...). dilate_tiles expands every rect,
+    building a SUPERSET bundle a nearby camera can render exactly through
+    cfg.clip_rect (see RasterizeConfig).
     opacity_cull must match the consuming RasterizeConfig so cached and
     fresh pair lists agree slot-for-slot (either way is output-exact — the
     kernels re-mask — but n_contrib slot numbering follows the list)."""

@@ -60,137 +60,12 @@ def reset_render_state() -> None:
     _PENDING_DROP.clear()
 
 
-from functools import partial as _partial
-
-
-@_partial(jax.jit, static_argnames=("width", "height", "tile"))
-def _coherent_rects(xyz, scales, rotations, alive, w2v, full_proj, campos,
-                    width, height, tile, opacity=None):
-    from .ops.preprocess import preprocess_gaussians
-    pre = preprocess_gaussians(xyz, scales, rotations, w2v, full_proj, campos,
-                               width, height, color=xyz * 0.0, tile=tile,
-                               alive=alive, opacity=opacity)
-    return pre.rect_min, pre.rect_max, pre.tiles_touched > 0
-
-
-class CoherentViewerBinning:
-    """Frame-coherent binning cache for an interactive (orbiting) camera.
-
-    An orbit/pan camera moves a few pixels per frame, but the render path
-    rebuilds the (gaussian, tile) binning from scratch every frame (~17 ms of
-    a ~50 ms 1080p viewer frame on v5e). This cache builds the binning ONCE
-    with every tile rect dilated by `dilate_tiles` per side and reuses it
-    while an exact per-frame guard holds: each frame's fresh rects (from the
-    cheap elementwise preprocess) must be contained in the cached dilated
-    rects. Rendering from the cache runs the kernels in clip_rect mode: the
-    FRESH rect rides 4 packed attribute columns and contributions are gated
-    by tile ∈ rect in-kernel, so every extra cached pair (dilation overhang,
-    or a gaussian that stopped producing pairs) contributes exactly zero —
-    the contribution SET equals fresh binning's. Residual deviations: f32
-    addition grouping (gated zero pairs shift the blend scans' chunk
-    boundaries — last-bit), within-tile pair order is the cache camera's
-    depth order (near-coincident splats that swap depth rank under the
-    motion blend in the stale order until the next rebuild — same class as
-    the sort's quantized-depth ties), and `n_contrib` reports slot positions
-    in the CACHED superset layout (gated pairs still occupy slots), so it is
-    excluded from the parity claim — the float image/alpha/feature/depth
-    outputs are what match.
-
-    Scope: pallas impl, scaling_modifier == 1.0 (the cache builds rects at
-    unit scaling). The caller passes the instance to render(coherent=...);
-    geometry/opacity edits are detected by array identity, so a densify or
-    crop rebuilds automatically. Reference: the CUDA rasterizer re-bins every
-    frame (rasterizer_impl.cu:217-260); this is a TPU-side addition for the
-    GUI loop (VERDICT round-2 item 2)."""
-
-    def __init__(self, dilate_tiles: int = 1, max_frames: int = 0,
-                 guard: str = "sync"):
-        # dilate_tiles default 1: the cached pair list grows
-        # ~(1 + 2d/rect_tiles)^2 and its visit arrays are SMEM-scalar-
-        # prefetched whole — blend_visits rejects lists past
-        # VISIT_SMEM_BUDGET_BYTES (d=2 exceeds it at 1080p/300k scale)
-        self.dilate_tiles = int(dilate_tiles)
-        self.max_frames = int(max_frames)  # 0 → rely on the exact guard only
-        # guard resolution: "sync" fetches guard_ok after each frame (exact
-        # every frame; the fetch waits for the frame program — fine for a
-        # GUI that fetches the frame anyway); "async" resolves the PREVIOUS
-        # frame's guard instead (zero extra host syncs; at most one frame
-        # renders from a stale envelope after fast motion, then rebuilds)
-        assert guard in ("sync", "async"), guard
-        self.guard = guard
-        self.n_builds = 0       # test/diagnostic: how many rebuilds happened
-        self.n_reuses = 0
-        self._cache = None
-        self._pair_cap = 0      # sticky across rebuilds
-
-    def invalidate(self) -> None:
-        self._cache = None
-
-    def lookup(self, p, width: int, height: int, tile: int):
-        """The cache entry if the gaussian set and frame shape still match
-        (pure identity check — the camera-envelope guard is computed INSIDE
-        the render program, see rasterize(coherent_guard=...)), else None.
-        Identity is by LIVE array references (kept in the cache dict, so a
-        freed array's address can never be reused into a false hit): jax
-        arrays are immutable, so `is`-equality of the geometry fields means
-        the binning inputs are unchanged."""
-        arrs = (p.xyz, p.scaling, p.rotation, p.opacity,
-                getattr(p, "alive", None))
-        shape = (width, height, tile)
-        c = self._cache
-        if (c is not None and c["shape"] == shape
-                and all(a is b for a, b in zip(c["arrs"], arrs))):
-            if self.max_frames and c["frames"] >= self.max_frames:
-                return None
-            return c
-        return None
-
-    def build(self, p, cam: CameraMats, width: int, height: int, tile: int,
-              impl: str, pallas_chunk: int):
-        """(Re)build the dilated binning at `cam`, growing the sticky cap
-        until drop-free (build-time host loop — rebuilds are rare)."""
-        from .ops.binning import dilate_rects
-        from .ops.rasterize import RasterizeConfig as _RC
-        from .ops.rasterize import compute_binning_cache
-
-        arrs = (p.xyz, p.scaling, p.rotation, p.opacity,
-                getattr(p, "alive", None))
-        n = p.capacity
-        pair_cap = self._pair_cap
-        for _ in range(8):
-            bundle, _, nd = compute_binning_cache(
-                p, cam, width, height, tile=tile, pair_cap=pair_cap,
-                impl=impl, pallas_chunk=pallas_chunk,
-                dilate_tiles=self.dilate_tiles)
-            resolved = _RC(width=width, height=height, tile=tile,
-                           pair_cap=pair_cap, impl=impl,
-                           pallas_chunk=pallas_chunk).resolved(n)
-            if int(nd) == 0:
-                break
-            pair_cap = 2 * resolved.pair_cap
-        self._pair_cap = resolved.pair_cap
-        grid_x = (width + tile - 1) // tile
-        grid_y = (height + tile - 1) // tile
-        rmin, rmax, need0 = _coherent_rects(
-            p.xyz, p.scaling_activated(), p.rotation_normalized(),
-            getattr(p, "alive", None), cam.w2v, cam.full_proj, cam.campos,
-            width, height, tile, opacity=p.opacity_activated())
-        dmin, dmax, _ = dilate_rects(rmin, rmax, need0.astype(jnp.int32),
-                                     grid_x, grid_y, self.dilate_tiles)
-        self._cache = {"arrs": arrs, "shape": (width, height, tile),
-                       "bundle": bundle, "dil_min": dmin, "dil_max": dmax,
-                       "need0": need0, "frames": 1}
-        self.n_builds += 1
-        return self._cache
-
-
 def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
            scaling_modifier: float = 1.0, override_color=None,
            norm_seg_feat: bool = True, track_contrib: bool = False,
            t_offset=None, cfg: Optional[RasterizeConfig] = None,
            grow_on_drop: bool = True, drop_check: str = "sync",
-           viewer: bool = False,
-           coherent: Optional["CoherentViewerBinning"] = None) -> dict:
+           viewer: bool = False) -> dict:
     """Render a view of `gaussians` (a GaussianParams pytree or GaussianModel).
 
     Returns dict with reference keys: render, radii, visibility_filter,
@@ -265,71 +140,7 @@ def render(viewpoint_camera: Camera, gaussians, pipe, bg_color,
     else:
         colors = override_color
 
-    coherent_cb = None
-    if (coherent is not None and scaling_modifier == 1.0
-            and not track_contrib and cfg.resolved(n).impl == "pallas"):
-        # frame-coherent binning: reuse the dilated pair list while the
-        # camera stays inside the dilation envelope (see
-        # CoherentViewerBinning). clip_rect gates contributions by the FRESH
-        # rect in-kernel so the superset list reproduces fresh binning's
-        # clipping exactly; the containment guard is computed INSIDE the
-        # same program from the frame's own preprocess (no second projection
-        # pass), and its one-scalar fetch resolves after the frame is
-        # dispatched. A cached bundle never drops pairs, so the grow-on-drop
-        # loop is skipped.
-        import dataclasses
-        r = cfg.resolved(n)
-        ccfg = dataclasses.replace(cfg, clip_rect=True)
-        c = coherent.lookup(p, width, height, r.tile)
-        from_cache = c is not None
-        if c is None:
-            c = coherent.build(p, cam, width, height, r.tile, r.impl,
-                               r.pallas_chunk)
-        elif coherent.guard == "async":
-            # resolve the PREVIOUS frame's guard instead of stalling this
-            # one (same pattern as drop_check='async'): at most one frame
-            # renders from a stale envelope after fast motion, then the
-            # cache rebuilds here before this frame is dispatched
-            pend = c.pop("pending_ok", None)
-            if pend is not None and not bool(pend):
-                c = coherent.build(p, cam, width, height, r.tile, r.impl,
-                                   r.pallas_chunk)
-                from_cache = False
-
-        def _render_coherent(cc):
-            return rasterize(p.xyz, p.scaling_activated(),
-                             p.rotation_normalized(),
-                             p.opacity_activated()[:, 0],
-                             cam, bg, ccfg, colors=colors, shs=shs,
-                             sh_degree=sh_degree, extras=seg_feature,
-                             t_offset=t_offset,
-                             alive=getattr(p, "alive", None),
-                             cached_binning=cc["bundle"],
-                             coherent_guard=(cc["dil_min"], cc["dil_max"],
-                                             cc["need0"]))
-
-        out = _render_coherent(c)
-        coherent_cb = c["bundle"]
-        if coherent.guard == "async":
-            c["pending_ok"] = out.guard_ok
-            if from_cache:
-                c["frames"] += 1
-                coherent.n_reuses += 1
-        elif not bool(out.guard_ok):
-            # sync mode: the camera left the envelope — rebuild at this
-            # camera and re-render (the rebuilt cache's guard is true by
-            # construction)
-            c = coherent.build(p, cam, width, height, r.tile, r.impl,
-                               r.pallas_chunk)
-            out = _render_coherent(c)
-            coherent_cb = c["bundle"]
-        elif from_cache:
-            c["frames"] += 1
-            coherent.n_reuses += 1
-
     for attempt in range(4):
-        if coherent_cb is not None:
-            break
         out = rasterize(p.xyz, p.scaling_activated() * scaling_modifier,
                         p.rotation_normalized(),
                         p.opacity_activated()[:, 0],

@@ -79,14 +79,6 @@ class SegmentationEngine:
     score_threshold: float = 0.7
     dbscan_eps: float = 0.15
     dbscan_min_points: int = 10
-    # opt-in frame-coherent binning cache: reuses a tile-dilated pair list
-    # across nearby poses (exact — in-kernel rect clipping). Worth it for
-    # large-splat scenes where the per-frame binning dominates; at small
-    # splat footprints the dilated list carries ~(1 + 2/rect_tiles)^2 more
-    # pairs and the per-frame pack gather + kernel visits outgrow the saved
-    # binning (docs/PERFORMANCE.md round-3 note), hence default off.
-    coherent_binning: bool = False
-
     def __post_init__(self):
         self.proj_mat = pca_proj_matrix(np.asarray(self.params.seg_feature))
         self.chosen_features: List[np.ndarray] = []
@@ -96,18 +88,6 @@ class SegmentationEngine:
         self._params_version = 0
         self._initial_params = self.params   # for reload_data
         self._color_rng = np.random.default_rng(0)
-        self._coherent = None
-        if self.coherent_binning:
-            from ..render import CoherentViewerBinning
-            # async guard: zero extra host syncs per frame (one frame may
-            # render from a stale envelope after fast motion, then rebuilds
-            # — same contract as the GUI's drop_check='async'). dilate=1:
-            # the cached pair list grows ~(1 + 2d/rect_tiles)^2 and its
-            # visit arrays must fit the kernel's SMEM scalar-prefetch budget
-            # (ops/blend_visits.VISIT_SMEM_BUDGET_BYTES; d=2 exceeds it at
-            # 1080p/300k-gaussian scale)
-            self._coherent = CoherentViewerBinning(dilate_tiles=1,
-                                                   guard="async")
 
     def reload(self) -> None:
         """Restore the model loaded at startup (reference reload_flag,
@@ -144,8 +124,7 @@ class SegmentationEngine:
             return self._frame
         from ..render import render
         pkg = render(cam, self.params, self.pipe, self.bg_color,
-                     drop_check="async", viewer=not need_aux,
-                     coherent=self._coherent)
+                     drop_check="async", viewer=not need_aux)
         rgb = np.asarray(pkg["render"])
         feat = np.asarray(pkg["seg_feature"])
         feat = feat / (np.linalg.norm(feat, axis=-1, keepdims=True) + 1e-6)

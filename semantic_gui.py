@@ -26,10 +26,6 @@ def main(argv=None):
     parser.add_argument("--click", type=str, default="",
                         help="headless: comma-separated pixel coords x,y,...")
     parser.add_argument("--camera_radius", type=float, default=2.0)
-    parser.add_argument("--coherent_binning", action="store_true",
-                        help="reuse a dilated binning cache across nearby "
-                             "poses (exact; pays off for large-splat scenes "
-                             "where per-frame binning dominates)")
     parser.add_argument("--out_dir", type=str,
                         default="interactive_segmentation")
     parser.add_argument("--use_colmap_camera", action="store_true",
@@ -55,8 +51,7 @@ def main(argv=None):
         raise SystemExit("PLY has no segfeat_* attributes — run "
                          "train_semantic.py first")
     engine = SegmentationEngine(params, PipelineParams(),
-                                score_threshold=args.score_threshold,
-                                coherent_binning=args.coherent_binning)
+                                score_threshold=args.score_threshold)
 
     train_cameras = None
     if args.use_colmap_camera:

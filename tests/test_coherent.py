@@ -1,12 +1,22 @@
-"""Frame-coherent viewer binning (render.CoherentViewerBinning).
+"""Cached-superset rendering via the kernels' clip_rect gate.
 
-Exactness contract: while every gaussian's fresh tile rect stays inside the
-cached dilated rect, rendering from the cached pair list equals a fresh
-per-frame binning up to f32 addition grouping (the kernels' clip_rect gate
-zeroes every pair fresh binning would not emit, but the gated zero slots
-shift the blend scans' chunk boundaries — last-bit diffs), provided the
-depth order is stable under the motion (the scene below separates depths by
->> one sort quantum).
+Exactness contract: a tile-dilated binning bundle built at camera A
+(compute_binning_cache(dilate_tiles=d)) renders ANY nearby camera B whose
+fresh per-gaussian tile rects stay inside A's dilated rects, through
+rasterize(cfg.clip_rect=True, cached_binning=bundle), equal to a fresh
+per-frame binning at B up to f32 addition grouping: the in-kernel rect gate
+zeroes every cached pair fresh binning would not emit, but the gated zero
+slots shift the blend scans' chunk boundaries (last-bit diffs), and the
+within-tile pair order is A's depth order, so the scene below separates
+depths by >> one sort quantum.
+
+This is the kernel machinery the round-2/3 frame-coherent GUI cache was
+built on. The GUI product wrapper (render.CoherentViewerBinning) was FOLDED
+in round 4 — the arithmetic cannot win at any measured profile (binning is
+~25% of a frame while any dilation inflates the pair-scaling ~75% by
+>= ~1.36x; docs/PERFORMANCE.md round 4) and the GUI host-caches static
+frames, so no winning workload exists. The kernel mode + this test stay:
+they serve any future cached-superset caller (e.g. slab-local reuse).
 """
 
 import os
@@ -19,10 +29,11 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from instascene_tpu.config import PipelineParams
 from instascene_tpu.models.gaussians import GaussianParams
-from instascene_tpu.ops.rasterize import RasterizeConfig
-from instascene_tpu.render import CoherentViewerBinning, render
+from instascene_tpu.ops.binning import dilate_rects
+from instascene_tpu.ops.preprocess import preprocess_gaussians
+from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                          compute_binning_cache, rasterize)
 from instascene_tpu.utils.general import inverse_sigmoid
 from instascene_tpu.viewer.gui import OrbitCamera
 
@@ -50,84 +61,76 @@ def _depth_separated_params(n=200, seed=0, seg_dim=16):
         active_sh_degree=0, max_sh_degree=3)
 
 
-def _assert_frames_equal(pkg_a, pkg_b, keys=("render", "rend_alpha",
-                                             "seg_feature")):
-    # same contribution set, but the dilated layout interleaves gated
-    # (exact-zero) pairs, shifting the chunk boundaries of the blend's
-    # prefix scans — f32 addition groupings differ at the last bit
-    for k in keys:
-        np.testing.assert_allclose(np.asarray(pkg_a[k]),
-                                   np.asarray(pkg_b[k]),
-                                   rtol=2e-6, atol=2e-6, err_msg=k)
+def _rasterize_at(params, cam, cfg, bundle=None):
+    cm = CameraMats(jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+                    jnp.asarray(cam.camera_center))
+    return rasterize(params.xyz, params.scaling_activated(),
+                     params.rotation_normalized(),
+                     params.opacity_activated()[:, 0], cm, jnp.zeros(3),
+                     cfg, shs=params.features(), sh_degree=0,
+                     extras=params.seg_feature_normed(),
+                     alive=params.alive, cached_binning=bundle)
+
+
+def _contained(params, cam, width, height, dmin, dmax, need0):
+    """The envelope guard the folded GUI wrapper computed in-program: every
+    gaussian producing pairs at `cam` produced pairs at the cache camera and
+    its fresh rect lies inside the cached dilated rect."""
+    pre = preprocess_gaussians(
+        params.xyz, params.scaling_activated(), params.rotation_normalized(),
+        jnp.asarray(cam.w2v), jnp.asarray(cam.full_proj),
+        jnp.asarray(cam.camera_center), width, height,
+        color=params.xyz * 0.0, alive=params.alive,
+        opacity=params.opacity_activated())
+    need = np.asarray(pre.tiles_touched) > 0
+    ok = (np.asarray(need0)
+          & np.all(np.asarray(pre.rect_min) >= np.asarray(dmin), axis=-1)
+          & np.all(np.asarray(pre.rect_max) <= np.asarray(dmax), axis=-1))
+    return bool(np.all(~need | ok))
 
 
 @pytest.mark.slow  # >45s single-core; out of the fast gate
-def test_coherent_viewer_binning_exact_and_invalidates():
-    # 16x12 tile grid: the ±1-tile dilation is a real envelope (at tiny
-    # grids the clamped dilation covers the whole screen and the cache
-    # legitimately never needs a rebuild)
-    W, H = 256, 192
-    params = _depth_separated_params()
-    pipe = PipelineParams()
-    bg = np.zeros(3, np.float32)
-    cfg = RasterizeConfig(width=W, height=H, impl="pallas")
-    coh = CoherentViewerBinning(dilate_tiles=1)
+def test_clip_rect_cached_superset_exact():
+    W, H = 256, 192       # 16x12 tile grid: ±1-tile dilation is a real
+    params = _depth_separated_params()  # envelope, not the whole screen
+    cfg_fresh = RasterizeConfig(width=W, height=H, impl="pallas")
+    cfg_cached = RasterizeConfig(width=W, height=H, impl="pallas",
+                                 clip_rect=True)
     orbit = OrbitCamera(W, H, r=4.0)
+    cam0 = orbit.minicam()
+    cm0 = CameraMats(jnp.asarray(cam0.w2v), jnp.asarray(cam0.full_proj),
+                     jnp.asarray(cam0.camera_center))
+    bundle, _, nd = compute_binning_cache(params, cm0, W, H, impl="pallas",
+                                          dilate_tiles=1)
+    assert int(nd) == 0
+    pre0 = preprocess_gaussians(
+        params.xyz, params.scaling_activated(), params.rotation_normalized(),
+        cm0.w2v, cm0.full_proj, cm0.campos, W, H, color=params.xyz * 0.0,
+        alive=params.alive, opacity=params.opacity_activated())
+    gx, gy = (W + 15) // 16, (H + 15) // 16
+    dmin, dmax, _ = dilate_rects(pre0.rect_min, pre0.rect_max,
+                                 pre0.tiles_touched, gx, gy, 1)
+    need0 = np.asarray(pre0.tiles_touched) > 0
 
-    # frame 0 builds; small orbital moves reuse; every frame must equal a
-    # fresh per-frame binning exactly
-    moves = [(0, 0), (2, 1), (-1, 2), (1, -2)]
-    for dx, dy in moves:
+    reused = 0
+    for dx, dy in [(0, 0), (2, 1), (-1, 2), (1, -2)]:
         if dx or dy:
             orbit.orbit(dx, dy)
         cam = orbit.minicam()
-        pkg_c = render(cam, params, pipe, bg, viewer=True, cfg=cfg,
-                       coherent=coh)
-        pkg_f = render(cam, params, pipe, bg, viewer=True, cfg=cfg)
-        _assert_frames_equal(pkg_c, pkg_f)
-    assert coh.n_builds >= 1
-    assert coh.n_reuses >= 1, "small orbital motion should reuse the cache"
+        if not _contained(params, cam, W, H, dmin, dmax, need0):
+            continue          # outside the envelope — a caller would rebuild
+        reused += 1
+        out_c = _rasterize_at(params, cam, cfg_cached, bundle=bundle)
+        out_f = _rasterize_at(params, cam, cfg_fresh)
+        for k in ("color", "alpha", "extra", "depth", "normal"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out_c.blend, k)),
+                np.asarray(getattr(out_f.blend, k)),
+                rtol=2e-6, atol=2e-6, err_msg=k)
+    assert reused >= 2, "orbit moves this small must stay in the envelope"
 
-    # a big zoom-in grows every footprint past the dilation envelope ->
-    # rebuild, still exact (zooming moves the camera along the view axis,
-    # shifting every depth equally — the blend order is preserved, unlike a
-    # large rotation, whose stale-order deviation the class docstring
-    # documents)
-    builds_before = coh.n_builds
+    # past the envelope the guard must detect it (a zoom grows every
+    # footprint) — the caller's cue to rebuild
     for _ in range(12):
         orbit.scale(1)
-    cam = orbit.minicam()
-    pkg_c = render(cam, params, pipe, bg, viewer=True, cfg=cfg, coherent=coh)
-    pkg_f = render(cam, params, pipe, bg, viewer=True, cfg=cfg)
-    _assert_frames_equal(pkg_c, pkg_f)
-    assert coh.n_builds > builds_before, "zoom past the envelope must rebuild"
-
-
-@pytest.mark.slow  # >45s single-core; out of the fast gate
-def test_coherent_full_kernel_mode_and_param_change():
-    """The cache also serves the full kernel (GUI aux modes: depth/normal),
-    and a gaussian-set edit (crop/delete) rebuilds via array identity."""
-    params = _depth_separated_params(n=120, seed=3)
-    pipe = PipelineParams()
-    bg = np.zeros(3, np.float32)
-    cfg = RasterizeConfig(width=48, height=32, impl="pallas")
-    coh = CoherentViewerBinning(dilate_tiles=2)
-    orbit = OrbitCamera(48, 32, r=4.0)
-    cam = orbit.minicam()
-
-    pkg_c = render(cam, params, pipe, bg, viewer=False, cfg=cfg, coherent=coh)
-    pkg_f = render(cam, params, pipe, bg, viewer=False, cfg=cfg)
-    _assert_frames_equal(pkg_c, pkg_f,
-                         keys=("render", "rend_alpha", "seg_feature",
-                               "surf_depth", "rend_normal"))
-
-    # simulate a delete: params arrays change identity -> rebuild
-    builds_before = coh.n_builds
-    alive = np.asarray(params.alive).copy()
-    alive[::3] = False
-    params2 = params.replace(alive=jnp.asarray(alive))
-    pkg_c2 = render(cam, params2, pipe, bg, viewer=True, cfg=cfg,
-                    coherent=coh)
-    pkg_f2 = render(cam, params2, pipe, bg, viewer=True, cfg=cfg)
-    _assert_frames_equal(pkg_c2, pkg_f2)
-    assert coh.n_builds > builds_before, "param change must rebuild"
+    assert not _contained(params, orbit.minicam(), W, H, dmin, dmax, need0)
