@@ -392,7 +392,7 @@ def _rasterize_slabs(means3d, scales, rotations, opacities, cam: CameraMats,
             means3d, scales, rotations, opacities,
             cam.w2v, cam.full_proj, cam.campos, bg, colors, shs, extras,
             t_offset, alive, None, cfg.width, h, sh_degree, scfg,
-            jnp.float32(y0), cfg.height, None))
+            jnp.float32(y0), cfg.height))
     cat = lambda get: jnp.concatenate([get(o.blend) for o in outs], axis=0)
     b0 = outs[0].blend
     blend = _BlendOut(

@@ -405,8 +405,11 @@ def test_gather_tune_pick_logic(monkeypatch):
     assert gt.fast_gather_cap(1_200_128) == 1_200_128
     assert calls == []
 
-    # force-enable to exercise the pick logic with fake timings
+    # force-enable to exercise the pick logic with fake timings; disk cache
+    # stubbed out so the test neither reads nor writes the machine cache
     monkeypatch.setattr(gt, "_enabled", lambda: True)
+    monkeypatch.setattr(gt, "_load_disk", lambda: None)
+    monkeypatch.setattr(gt, "_save_disk", lambda: None)
     fake = {1_200_128: 61.0, 1_200_256: 7.6, 1_200_384: 7.2}
     monkeypatch.setattr(gt, "_time_gather",
                         lambda cap, dim, rows: fake[cap])
