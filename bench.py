@@ -288,13 +288,33 @@ def bench_geometry(params, make_cam, width=976, height=728, iters=10,
     # dist=True models the 2DGS bounded-scene recipe instead
     # (--lambda_dist 100, depth_ratio 0 → full distortion + expected-depth
     # kernels), so the non-default path has a stated rate too.
-    cfg = RasterizeConfig(width=width, height=height, pair_cap=snug,
-                          no_depth_dist=not dist)
     depth_ratio = 0.0 if dist else 1.0
     dummy = jnp.zeros(1)
     bg = jnp.zeros(3)
     lam = tuple(jnp.float32(v) for v in
                 (0.2, 100.0 if dist else 0.0, 0.05, 0.0))
+
+    def cfg_at(cap):
+        return RasterizeConfig(width=width, height=height, pair_cap=cap,
+                               no_depth_dist=not dist, tune_gather=False)
+
+    # step-level cap autotune, exactly as GeometryTrainer's post-densify
+    # snug does it: the gather's in-program mode is per-compile roulette,
+    # so time the real step at {snug, +128, +256} and pin the winner
+    from instascene_tpu.pipelines.train import pick_step_cap
+
+    def run_at_cap(cap):
+        cfg_c = cfg_at(cap)
+
+        def run():
+            _, _, _, m = train_step(params, opt_state, stats, cams[0].w2v,
+                                    cams[0].full_proj, cams[0].campos,
+                                    cams[0].c2w_rot, gt, dummy, dummy, bg,
+                                    lrs, *lam, cfg_c, cams[0].tanfovx,
+                                    cams[0].tanfovy, depth_ratio, False)
+            return m["loss"]
+        return run
+    cfg = cfg_at(pick_step_cap(run_at_cap, snug))
 
     def one(i, p, o, s):
         ct = cams[i % len(cams)]
@@ -349,6 +369,11 @@ def bench_render_fps(params, make_cam, width=1920, height=1080, iters=20,
         pair_cap *= 2
     cfg = RasterizeConfig(width=width, height=height, pair_cap=pair_cap,
                           fwd_viewer=viewer)
+    if os.environ.get("BENCH_DEBUG"):
+        print(f"[bench_render_fps {width}x{height} viewer={viewer}] "
+              f"pairs={total} cap={pair_cap} "
+              f"resolved={cfg.resolved(params.capacity).pair_cap}",
+              file=sys.stderr, flush=True)
     extras = params.seg_feature_normed() if viewer else None
 
     # chain iterations (identical re-dispatches get deduped on this runtime)

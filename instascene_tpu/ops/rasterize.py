@@ -94,6 +94,10 @@ class RasterizeConfig:
     # PERFORMANCE.md round 4). Opt in for scenes whose splats span many
     # tiles with long dead corners. Requires opacity_cull (needs opacity).
     conic_cull: bool = False
+    # when False, resolved() pins pair_cap exactly (no fast-gather snap) —
+    # used by step-level cap autotuners that must compare EXACT candidate
+    # caps (pipelines/train.pick_step_cap); product paths leave it True
+    tune_gather: bool = True
 
     def resolved(self, n: int) -> "RasterizeConfig":
         # auto caps are deliberately tight — the sort is O(pair_cap); callers
@@ -115,16 +119,17 @@ class RasterizeConfig:
             # snap to a measured fast-gather size: XLA's row gather is
             # bimodal (2-8x!) in the row count with no usable size rule —
             # see ops/gather_tune.py. Growing a cap is always safe.
-            from .gather_tune import fast_gather_cap
-            pair_cap = fast_gather_cap(pair_cap, dim=21, src_rows=n + 1,
-                                       chunk=chunk)
+            if self.tune_gather:
+                from .gather_tune import fast_gather_cap
+                pair_cap = fast_gather_cap(pair_cap, dim=21, src_rows=n + 1,
+                                           chunk=chunk)
         tile_cap = ((tile_cap + chunk - 1) // chunk) * chunk
         return RasterizeConfig(self.width, self.height, self.tile, chunk,
                                pair_cap, tile_cap, self.track_contrib, impl,
                                self.bwd_extras_only, self.pallas_chunk,
                                self.fwd_viewer, self.clip_rect,
                                self.no_depth_dist, self.opacity_cull,
-                               self.conic_cull)
+                               self.conic_cull, self.tune_gather)
 
 
 def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,

@@ -151,6 +151,58 @@ def eval_step(params: GaussianParams, w2v, full_proj, campos, c2w_rot,
             "rend_dist": out.blend.distortion, "gt": gt}
 
 
+def pick_step_cap(run_at_cap, base_cap: int, deltas=(0, 128, 256),
+                  warm: int = 6, k: int = 3) -> int:
+    """Step-level pair-cap autotune.
+
+    The pack gather's fast/slow mode at a FIXED row count is decided per
+    compiled program (ops/gather_tune.py documents the runtime roulette:
+    the micro-probe tune removes the deterministic losses but a large
+    program like a train step re-rolls at compile time), so the only
+    reliable oracle for a training step is the step itself. Time the
+    caller's jitted step at base_cap + each delta and return the fastest
+    cap. `run_at_cap(cap)` returns a closure running ONE step at that cap
+    (cfg must pin the cap EXACTLY — RasterizeConfig(tune_gather=False))
+    whose return is host-fetchable. Timing discipline per gather_tune.py:
+    host-fetch fences (block_until_ready can no-op on the axon tunnel),
+    K-vs-2K RTT-cancelling windows, min over repeats. Costs len(deltas)
+    compiles once (amortized by the persistent compile cache) + ~2 s; a
+    <1.5% spread is noise, where the smallest cap wins. Disable with
+    INSTASCENE_STEP_TUNE=0."""
+    import jax
+    if (jax.default_backend() == "cpu"
+            or os.environ.get("INSTASCENE_STEP_TUNE", "1") == "0"):
+        return base_cap
+    results = []
+    for d in deltas:
+        cap = base_cap + d
+        try:
+            run = run_at_cap(cap)
+            float(run())                     # compile + first call
+            for _ in range(warm):
+                out = run()
+            float(out)
+            ms = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    out = run()
+                float(out)
+                t1 = time.perf_counter()
+                for _ in range(2 * k):
+                    out = run()
+                float(out)
+                t2 = time.perf_counter()
+                ms = min(ms, ((t2 - t1) - (t1 - t0)) / k * 1e3)
+            results.append((max(ms, 1e-3), cap))
+        except Exception:
+            continue
+    if not results:
+        return base_cap
+    best = min(ms for ms, _ in results)
+    return next(c for ms, c in results if ms <= best * 1.015)
+
+
 @dataclass
 class CameraTensors:
     w2v: jnp.ndarray
@@ -235,6 +287,10 @@ class GeometryTrainer:
         opts = dict(self.rasterize_opts)
         if self._pair_cap and "pair_cap" not in opts:
             opts["pair_cap"] = self._pair_cap
+            if getattr(self, "_cap_exact", False):
+                # the post-densify snug was step-tuned to an exact winner —
+                # resolved() must not re-snap it (pick_step_cap docstring)
+                opts.setdefault("tune_gather", False)
         if (lam_dist == 0.0 and float(self.pipe.depth_ratio) == 1.0
                 and "no_depth_dist" not in opts):
             # distortion loss off (the reference default lambda_dist == 0,
@@ -278,8 +334,56 @@ class GeometryTrainer:
             snug = max(gran, (int(self._pair_hiwater * 1.1) + gran - 1)
                        // gran * gran)
             if snug < self._pair_cap:
-                self._pair_cap = snug
+                # 2/3 of a 30k-iter run trains at this cap — worth timing
+                # the REAL step at {snug, +128, +256} once and pinning the
+                # winner (per-program gather-mode roulette, pick_step_cap)
+                tuned = self._step_tune_snug(snug, iteration)
+                self._pair_cap = tuned
+                self._cap_exact = True
             self._post_densify_snug = True
+
+    def _step_tune_snug(self, snug: int, iteration: int) -> int:
+        """Time the real jitted train step at {snug, +128, +256} and return
+        the winner (pick_step_cap). No state is advanced — train_step is
+        pure and the outputs are discarded."""
+        import dataclasses
+
+        import jax as _jax
+        if (_jax.default_backend() == "cpu"
+                or os.environ.get("INSTASCENE_STEP_TUNE", "1") == "0"):
+            return snug   # pick_step_cap would no-op; skip the setup too
+
+        from ..models.optimizer import dev_scalar
+        opt = self.opt
+        ct = self.cams[0]
+        cam_obj = self.cam_objs[0]
+        lrs = geometry_lrs(opt, self.spatial_lr_scale,
+                           self.xyz_sched(iteration))
+        lam_normal = opt.lambda_normal if iteration > 7000 else 0.0
+        lam_dist = opt.lambda_dist if iteration > 3000 else 0.0
+        lam_prior = opt.lambda_normal_prior if iteration > 7000 else 0.0
+        has_prior = ct.normal_prior is not None
+        if not hasattr(self, "_dummy1"):
+            self._dummy1 = jnp.zeros(1)
+        base = self._cfg(cam_obj, lam_dist=lam_dist)
+
+        def run_at_cap(cap):
+            cfg = dataclasses.replace(base, pair_cap=cap, tune_gather=False)
+
+            def run():
+                _, _, _, m = train_step(
+                    self.params, self.opt_state, self.stats,
+                    ct.w2v, ct.full_proj, ct.campos, ct.c2w_rot,
+                    ct.gt_image,
+                    ct.normal_prior if has_prior else self._dummy1,
+                    ct.normal_mask if has_prior else self._dummy1,
+                    self.bg, lrs, dev_scalar(opt.lambda_dssim),
+                    dev_scalar(lam_dist), dev_scalar(lam_normal),
+                    dev_scalar(lam_prior), cfg, ct.tanfovx, ct.tanfovy,
+                    float(self.pipe.depth_ratio), has_prior)
+                return m["loss"]
+            return run
+        return pick_step_cap(run_at_cap, snug)
 
     def _pop_cam(self) -> int:
         if not getattr(self, "_stack", None):

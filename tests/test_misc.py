@@ -342,6 +342,9 @@ def test_adapt_caps_post_densify_resnug():
 
     t = types.SimpleNamespace(opt=OptimizationParams(), _pair_hiwater=0,
                               _pair_cap=0,
+                              # CPU-backend behavior: the step-level cap
+                              # tuner is a pass-through (see _step_tune_snug)
+                              _step_tune_snug=lambda snug, it: snug,
                               params=types.SimpleNamespace(capacity=400_000))
     adapt = GeometryTrainer._adapt_caps
 
@@ -429,3 +432,45 @@ def test_gather_tune_pick_logic(monkeypatch):
                         lambda cap, dim, rows: fake2[cap])
     assert gt.fast_gather_cap(512_000, dim=21, src_rows=100) == 512_000
     gt.reset_gather_tune_cache()
+
+
+def test_pick_step_cap_logic(monkeypatch):
+    """pick_step_cap (pipelines/train.py) is a CPU no-op, prefers the
+    smallest candidate within 1.5% of the fastest measured step, and
+    ignores candidates whose step raises (e.g. an OOM at +2 chunks)."""
+    import jax
+
+    from instascene_tpu.pipelines import train as tr
+
+    # CPU backend: no timing at all (candidates must never be invoked)
+    calls = []
+    assert tr.pick_step_cap(lambda cap: calls.append(cap), 1000) == 1000
+    assert calls == []
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    times = {1000: 80.0, 1128: 75.5, 1256: 75.0}
+
+    class FakeScalar(float):
+        pass
+
+    def run_at_cap(cap):
+        if cap == 1128:
+            raise RuntimeError("oom")          # skipped, not fatal
+
+        class Clock:
+            def __call__(self):
+                time_mod.advance(times[cap] / 1e3)
+                return FakeScalar(0.0)
+        return Clock()
+
+    class TimeMod:
+        t = 0.0
+        def advance(self, dt): TimeMod.t += dt
+        def perf_counter(self): return TimeMod.t
+    time_mod = TimeMod()
+    monkeypatch.setattr(tr.time, "perf_counter", time_mod.perf_counter)
+    # 1256 is fastest; 1000 is 6.7% slower (outside the 1.5% band) -> 1256
+    assert tr.pick_step_cap(run_at_cap, 1000, deltas=(0, 128, 256)) == 1256
+    # within-band tie prefers the smaller cap
+    times[1000] = 75.9
+    assert tr.pick_step_cap(run_at_cap, 1000, deltas=(0, 128, 256)) == 1000
