@@ -474,3 +474,27 @@ def test_pick_step_cap_logic(monkeypatch):
     # within-band tie prefers the smaller cap
     times[1000] = 75.9
     assert tr.pick_step_cap(run_at_cap, 1000, deltas=(0, 128, 256)) == 1000
+
+
+def test_resolved_tune_gather_pinning(monkeypatch):
+    """RasterizeConfig(tune_gather=False) must pin pair_cap exactly through
+    resolved() (modulo chunk rounding) — step-level cap autotuners compare
+    EXACT candidates — while the default leaves the fast-gather snap on."""
+    from instascene_tpu.ops import gather_tune as gt
+    from instascene_tpu.ops.rasterize import RasterizeConfig
+
+    calls = []
+
+    def fake_snap(cap, dim=21, src_rows=0, chunk=128):
+        calls.append(cap)
+        return cap + 128
+    monkeypatch.setattr(gt, "fast_gather_cap", fake_snap)
+    # pallas impl so the snap path is reachable even on the CPU test backend
+    r = RasterizeConfig(width=64, height=64, pair_cap=1024, impl="pallas",
+                        tune_gather=False).resolved(100)
+    assert r.pair_cap == 1024 and calls == []
+    r2 = RasterizeConfig(width=64, height=64, pair_cap=1024,
+                         impl="pallas").resolved(100)
+    assert r2.pair_cap == 1152 and calls == [1024]
+    # the flag survives resolution (replace()-based candidate cfgs rely on it)
+    assert r.tune_gather is False and r2.tune_gather is True
