@@ -342,3 +342,122 @@ def test_camera_model_with_priors_and_segmap(tmp_path):
     assert cam.normal is not None and cam.normal.shape == (H // 2, W // 2, 3)
     norms = np.linalg.norm(cam.normal, axis=-1)
     assert norms.max() < 1.2 and norms.min() > 0.3  # unit-ish after 8-bit png
+
+
+def test_sh_rotation_equivariance(rng):
+    """utils/sh_rotation.py: the numerically-derived real-SH rotation blocks
+    must be exactly equivariant under the framework's own basis —
+    eval_sh(rotate(c), R·d) == eval_sh(c, d) — and quaternion composition
+    must satisfy rotmat(q_R ⊗ q) == R @ rotmat(q)."""
+    from instascene_tpu.ops.sh import eval_sh_np
+    from instascene_tpu.utils.general import build_rotation_np
+    from instascene_tpu.utils.sh_rotation import (compose_quaternion,
+                                                  euler_deg_to_rotmat,
+                                                  rotate_sh_rest,
+                                                  rotmat_to_quat)
+    R = euler_deg_to_rotmat([33.0, -71.0, 12.0])
+    assert np.allclose(R @ R.T, np.eye(3), atol=1e-12)
+    N = 50
+    sh = rng.standard_normal((N, 16, 3))
+    sh_rot = sh.copy()
+    sh_rot[:, 1:] = rotate_sh_rest(sh[:, 1:], R)
+    d = rng.standard_normal((N, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    a = eval_sh_np(3, sh, d)                 # original radiance at d
+    b = eval_sh_np(3, sh_rot, d @ R.T)       # rotated radiance at R·d
+    assert np.abs(a - b).max() < 1e-10
+
+    q = rng.standard_normal((N, 4))
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    q2 = compose_quaternion(rotmat_to_quat(R), q)
+    err = np.abs(build_rotation_np(q2)
+                 - np.einsum("ij,njk->nik", R, build_rotation_np(q))).max()
+    assert err < 1e-12
+
+
+def test_align_coords_render_invariance(tmp_path, rng):
+    """scripts/align_coords.py end to end: rotating the whole scene (gaussian
+    xyz + quaternions + SH via the PLY path, COLMAP poses + points via the
+    sparse path) and rotating the camera with it must reproduce the original
+    render pixel-for-pixel (up to f32), and the aligned COLMAP model must
+    satisfy c2w' = R4 @ c2w with points x' = R x."""
+    import sys
+
+    import jax.numpy as jnp
+    from scene_builder import make_blob_gaussians
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from scripts.align_coords import rotate_colmap, rotate_gaussians
+
+    from instascene_tpu.data.colmap import (qvec2rotmat, read_images_binary,
+                                            read_points3D_binary)
+    from instascene_tpu.models.gaussians import load_ply, save_ply
+    from instascene_tpu.ops.rasterize import (CameraMats, RasterizeConfig,
+                                              rasterize)
+    from instascene_tpu.utils.sh_rotation import euler_deg_to_rotmat
+    from instascene_tpu.viewer.gui import OrbitCamera
+
+    params, _ = make_blob_gaussians()
+    # give the blobs non-trivial view-dependent color so SH rotation matters
+    fr = rng.normal(size=params.features_rest.shape).astype(np.float32) * 0.3
+    params = params.replace(features_rest=jnp.asarray(fr),
+                            active_sh_degree=3)
+    ply = str(tmp_path / "model.ply")
+    save_ply(params, ply)
+
+    R = euler_deg_to_rotmat([25.0, -40.0, 65.0])
+    out_ply = rotate_gaussians(ply, R, seg_feat_dim=16)
+    p2 = load_ply(out_ply, seg_feat_dim=16, load_seg_feat=True)
+    p2 = p2.replace(active_sh_degree=3)
+
+    W, H = 64, 48
+    cam = OrbitCamera(W, H, r=4.0).minicam()
+    w2v = np.asarray(cam.w2v)                # row-vector convention probe
+    R4 = np.eye(4)
+    R4[:3, :3] = R
+    cfg = RasterizeConfig(width=W, height=H, impl="xla", pair_cap=65536)
+
+    def render(p, w2v_np):
+        w2v_j = jnp.asarray(w2v_np.astype(np.float32))
+        # row-vector convention: full_proj = w2v @ proj, so the aligned
+        # chain is full' = w2v' @ (w2v⁻¹ @ full_proj)
+        full = w2v_j @ jnp.asarray(
+            (np.linalg.inv(np.asarray(cam.w2v, np.float64))
+             @ np.asarray(cam.full_proj, np.float64)).astype(np.float32))
+        campos = jnp.asarray(np.linalg.inv(w2v_np)[3, :3].astype(np.float32))
+        out = rasterize(p.xyz, p.scaling_activated(),
+                        p.rotation_normalized(),
+                        p.opacity_activated()[:, 0],
+                        CameraMats(w2v_j, full, campos), jnp.zeros(3), cfg,
+                        shs=p.features(), sh_degree=3, alive=p.alive)
+        return np.asarray(out.blend.color)
+
+    img_a = render(params, w2v)
+    # row-vector matrices (cameras.py): world2view rows satisfy
+    # x_view = x_world @ w2v; rotating the world by R4 (column convention
+    # x' = R4 @ x) makes the aligned view matrix w2v' = R4⁻¹ᵀ-composed:
+    w2v2 = np.asarray(np.linalg.inv(R4)).T @ w2v
+    img_b = render(p2, w2v2)
+    assert np.abs(img_a - img_b).max() < 5e-3, np.abs(img_a - img_b).max()
+
+    # COLMAP path on a synthetic sparse model
+    from scene_builder import build_e2e_scene
+    scene = str(tmp_path / "parent" / "scene")
+    build_e2e_scene(scene, width=32, height=24, n_cams=3)
+    ims0 = read_images_binary(os.path.join(scene, "sparse/0/images.bin"))
+    xyz0, _, _ = read_points3D_binary(
+        os.path.join(scene, "sparse/0/points3D.bin"))
+    out_dir = rotate_colmap(scene, R4)
+    ims1 = read_images_binary(os.path.join(out_dir, "images.bin"))
+    xyz1, _, _ = read_points3D_binary(os.path.join(out_dir, "points3D.bin"))
+    assert np.abs(xyz1 - xyz0 @ R4[:3, :3].T).max() < 1e-6
+    for k in ims0:
+        w2c0 = np.eye(4)
+        w2c0[:3, :3] = qvec2rotmat(ims0[k].qvec)
+        w2c0[:3, 3] = ims0[k].tvec
+        w2c1 = np.eye(4)
+        w2c1[:3, :3] = qvec2rotmat(ims1[k].qvec)
+        w2c1[:3, 3] = ims1[k].tvec
+        c2w0, c2w1 = np.linalg.inv(w2c0), np.linalg.inv(w2c1)
+        assert np.abs(c2w1 - R4 @ c2w0).max() < 1e-8
