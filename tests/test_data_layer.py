@@ -413,19 +413,18 @@ def test_align_coords_render_invariance(tmp_path, rng):
 
     W, H = 64, 48
     cam = OrbitCamera(W, H, r=4.0).minicam()
-    w2v = np.asarray(cam.w2v)                # row-vector convention probe
+    w2v = np.asarray(cam.w2v, np.float64)
     R4 = np.eye(4)
     R4[:3, :3] = R
     cfg = RasterizeConfig(width=W, height=H, impl="xla", pair_cap=65536)
+    # column convention throughout (cameras.py:8-13): p_view = w2v @ p_world,
+    # full_proj = proj @ w2v, camera_center = inv(w2v)[:3, 3]
+    proj = np.asarray(cam.full_proj, np.float64) @ np.linalg.inv(w2v)
 
     def render(p, w2v_np):
         w2v_j = jnp.asarray(w2v_np.astype(np.float32))
-        # row-vector convention: full_proj = w2v @ proj, so the aligned
-        # chain is full' = w2v' @ (w2v⁻¹ @ full_proj)
-        full = w2v_j @ jnp.asarray(
-            (np.linalg.inv(np.asarray(cam.w2v, np.float64))
-             @ np.asarray(cam.full_proj, np.float64)).astype(np.float32))
-        campos = jnp.asarray(np.linalg.inv(w2v_np)[3, :3].astype(np.float32))
+        full = jnp.asarray((proj @ w2v_np).astype(np.float32))
+        campos = jnp.asarray(np.linalg.inv(w2v_np)[:3, 3].astype(np.float32))
         out = rasterize(p.xyz, p.scaling_activated(),
                         p.rotation_normalized(),
                         p.opacity_activated()[:, 0],
@@ -434,10 +433,9 @@ def test_align_coords_render_invariance(tmp_path, rng):
         return np.asarray(out.blend.color)
 
     img_a = render(params, w2v)
-    # row-vector matrices (cameras.py): world2view rows satisfy
-    # x_view = x_world @ w2v; rotating the world by R4 (column convention
-    # x' = R4 @ x) makes the aligned view matrix w2v' = R4⁻¹ᵀ-composed:
-    w2v2 = np.asarray(np.linalg.inv(R4)).T @ w2v
+    # rotating the world by R4 (x' = R4 x) keeps the view fixed iff the new
+    # view matrix satisfies w2v' x' = w2v x, i.e. w2v' = w2v @ R4⁻¹ = w2v @ R4ᵀ
+    w2v2 = w2v @ R4.T
     img_b = render(p2, w2v2)
     assert np.abs(img_a - img_b).max() < 5e-3, np.abs(img_a - img_b).max()
 
