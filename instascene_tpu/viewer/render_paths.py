@@ -44,10 +44,6 @@ def view_matrix(lookdir, up, position) -> np.ndarray:
     return np.stack([x, y, z, position], axis=-1)
 
 
-# Back-compat alias used by older scripts.
-def normalize(x):
-    return x / np.linalg.norm(x)
-
 
 def focus_point_fn(poses: np.ndarray) -> np.ndarray:
     """Point minimizing summed squared distance to all camera optical axes.
