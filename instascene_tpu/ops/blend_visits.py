@@ -62,7 +62,8 @@ def _check_visit_budget(n_visits: int, interpret: bool) -> None:
 def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
                        packed_ref, *refs, tile, grid_x, num_tiles,
                        n_extra, chunk=CHUNK, extras_only=False, viewer=False,
-                       track=False, clip_rect=False, no_dist=False):
+                       track=False, clip_rect=False, no_dist=False,
+                       tiles_per_view=0):
     if track:
         # track mode: full body + the w>0.1 contributor buffer (the CUDA
         # gau_related_pixels analogue, forward.cu:422-428, deterministic
@@ -112,8 +113,13 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
 
     @pl.when((s1 > s0) & ~saturated)
     def _work():
-        ty = (tt // grid_x).astype(jnp.float32)
-        tx = (tt % grid_x).astype(jnp.float32)
+        # merged virtual-image mode (tiles_per_view > 0): the tile space
+        # concatenates several views' grids, so pixel coordinates come from
+        # the view-LOCAL tile index — per-view splat math stays bit-exact
+        # (no homography shift, no cross-product cancellation)
+        ttl = tt % tiles_per_view if tiles_per_view else tt
+        ty = (ttl // grid_x).astype(jnp.float32)
+        tx = (ttl % grid_x).astype(jnp.float32)
         p = jax.lax.broadcasted_iota(jnp.int32, (1, tile * tile), 1)
         pxf = tx * tile + (p % tile).astype(jnp.float32)
         pyf = ty * tile + (p // tile).astype(jnp.float32)
@@ -301,10 +307,13 @@ def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
                             interpret: bool = False, chunk: int = CHUNK,
                             extras_only: bool = False,
                             viewer: bool = False, track: bool = False,
-                            clip_rect: bool = False, no_dist: bool = False):
+                            clip_rect: bool = False, no_dist: bool = False,
+                            tiles_per_view: int = 0):
     """packed [P, D] slot-major (P = pair_cap, % chunk == 0). With track,
     packed's last column must be the gaussian id (f32) and the return gains
-    (contrib_ids [T,K,P2] int32, contrib_w [T,K,P2] f32)."""
+    (contrib_ids [T,K,P2] int32, contrib_w [T,K,P2] f32). tiles_per_view
+    (merged virtual-image mode): num_tiles spans several views' grids
+    stacked along the tile axis; pixel coords derive from tile % it."""
     P, D = packed.shape
     assert P % chunk == 0, P
     V = visit_tile.shape[0]
@@ -347,7 +356,8 @@ def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
                                num_tiles=num_tiles, n_extra=n_extra,
                                chunk=chunk, extras_only=extras_only,
                                viewer=viewer, track=track,
-                               clip_rect=clip_rect, no_dist=no_dist)
+                               clip_rect=clip_rect, no_dist=no_dist,
+                               tiles_per_view=tiles_per_view)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -365,7 +375,7 @@ def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
                        packed_ref, gout_ref, sv_ref, iout_ref, dout_ref,
                        Tst, Ss, *, tile, grid_x, num_tiles, n_extra,
                        n_visits, chunk=CHUNK, extras_only=False,
-                       clip_rect=False, no_dist=False):
+                       clip_rect=False, no_dist=False, tiles_per_view=0):
     i = pl.program_id(0)
     j = n_visits - 1 - i
     E = n_extra
@@ -399,8 +409,9 @@ def _bwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
 
     @pl.when(work)
     def _work():
-        ty = (tt // grid_x).astype(jnp.float32)
-        tx = (tt % grid_x).astype(jnp.float32)
+        ttl = tt % tiles_per_view if tiles_per_view else tt
+        ty = (ttl // grid_x).astype(jnp.float32)
+        tx = (ttl % grid_x).astype(jnp.float32)
         p = jax.lax.broadcasted_iota(jnp.int32, (1, tile * tile), 1)
         pxf = tx * tile + (p % tile).astype(jnp.float32)
         pyf = ty * tile + (p // tile).astype(jnp.float32)
@@ -530,7 +541,8 @@ def blend_bwd_pallas_visits(packed, gout, saved, iout, visit_tile,
                             extras_only: bool = False,
                             chunk: int = CHUNK,
                             clip_rect: bool = False,
-                            no_dist: bool = False) -> jnp.ndarray:
+                            no_dist: bool = False,
+                            tiles_per_view: int = 0) -> jnp.ndarray:
     """packed [P, D] slot-major; returns d(packed) [P, rows]."""
     P, D = packed.shape
     V = visit_tile.shape[0]
@@ -564,7 +576,7 @@ def blend_bwd_pallas_visits(packed, gout, saved, iout, visit_tile,
                                num_tiles=num_tiles, n_extra=n_extra,
                                n_visits=V, chunk=chunk,
                                extras_only=extras_only, clip_rect=clip_rect,
-                               no_dist=no_dist)
+                               no_dist=no_dist, tiles_per_view=tiles_per_view)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -578,22 +590,23 @@ def blend_bwd_pallas_visits(packed, gout, saved, iout, visit_tile,
 
 def _visits_fwd_impl(flat, bundle, num_tiles, tile, grid_x, n_extra,
                      interpret, chunk=CHUNK, extras_only=False, viewer=False,
-                     clip_rect=False, no_dist=False):
+                     clip_rect=False, no_dist=False, tiles_per_view=0):
     sorted_gid, vc, vt, vs0, vs1, vts = bundle[:6]
     packed = flat[sorted_gid]                 # [P, D] slot-major
     f = blend_fwd_pallas_visits(packed, vt, vc, vs0, vs1, vts, num_tiles,
                                 tile, grid_x, n_extra, interpret,
                                 chunk=chunk, extras_only=extras_only,
                                 viewer=viewer, clip_rect=clip_rect,
-                                no_dist=no_dist)
+                                no_dist=no_dist,
+                                tiles_per_view=tiles_per_view)
     return f.out, f.iout, packed
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def blend_visits_diff(flat, binning_bundle, num_tiles, tile, grid_x,
                       n_extra, interpret, extras_only=False, chunk=CHUNK,
-                      clip_rect=False, no_dist=False):
+                      clip_rect=False, no_dist=False, tiles_per_view=0):
     """Differentiable visit-layout Pallas blend.
 
     flat [N+1, D] per-gaussian packed attrs (sentinel zero row last);
@@ -601,11 +614,16 @@ def blend_visits_diff(flat, binning_bundle, num_tiles, tile, grid_x,
     visit_s1, visit_tstart[, gid_order, gauss_offsets, gauss_csum]) — index
     data, non-differentiable. clip_rect: flat carries 4 trailing tile-rect
     columns and contributions are gated by tile ∈ rect (cached-superset
-    mode, pack_flat_cols rect=). Returns (out [T,OC,P2], iout [T,2,P2])."""
+    mode, pack_flat_cols rect=). tiles_per_view: merged virtual-image mode
+    (several views' tile grids concatenated; flat stacks the views' packed
+    tables, bundle indices carry per-view offsets — see
+    pipelines.train_semantic._mv_full_loss_merged). Returns
+    (out [T,OC,P2], iout [T,2,P2])."""
     out, iout, _ = _visits_fwd_impl(flat, binning_bundle, num_tiles, tile,
                                     grid_x, n_extra, interpret, chunk,
                                     extras_only, clip_rect=clip_rect,
-                                    no_dist=no_dist)
+                                    no_dist=no_dist,
+                                    tiles_per_view=tiles_per_view)
     return out, iout
 
 
@@ -640,18 +658,20 @@ def blend_visits_track(flat, binning_bundle, num_tiles, tile, grid_x,
 
 def _blend_visits_diff_fwd(flat, bundle, num_tiles, tile, grid_x, n_extra,
                            interpret, extras_only=False, chunk=CHUNK,
-                           clip_rect=False, no_dist=False):
+                           clip_rect=False, no_dist=False, tiles_per_view=0):
     out, iout, packed = _visits_fwd_impl(flat, bundle, num_tiles, tile,
                                          grid_x, n_extra, interpret, chunk,
                                          extras_only, clip_rect=clip_rect,
-                                         no_dist=no_dist)
+                                         no_dist=no_dist,
+                                         tiles_per_view=tiles_per_view)
     E = n_extra
     saved = jnp.concatenate([out[:, 9:10], out[:, 10 + E:12 + E]], axis=1)
     return (out, iout), (packed, bundle, saved, iout, flat.shape[0])
 
 
 def _blend_visits_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
-                           extras_only, chunk, clip_rect, no_dist, res, cts):
+                           extras_only, chunk, clip_rect, no_dist,
+                           tiles_per_view, res, cts):
     packed, bundle, saved, iout, n1 = res
     gout, _ = cts
     sorted_gid, vc, vt, vs0, vs1, vts = bundle[:6]
@@ -661,7 +681,8 @@ def _blend_visits_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
                                        vs0, vs1, vts, num_tiles, tile,
                                        grid_x, n_extra, interpret,
                                        extras_only=extras_only, chunk=chunk,
-                                       clip_rect=clip_rect, no_dist=no_dist)
+                                       clip_rect=clip_rect, no_dist=no_dist,
+                                       tiles_per_view=tiles_per_view)
     cols = d_sorted.shape[1]
     if gid_order is not None:
         # cached-binning path: gather+cumsum+segment-diff chain (indices

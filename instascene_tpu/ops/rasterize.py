@@ -98,10 +98,25 @@ class RasterizeConfig:
     # used by step-level cap autotuners that must compare EXACT candidate
     # caps (pipelines/train.pick_step_cap); product paths leave it True
     tune_gather: bool = True
+    # packed-table feature-column count (E) the frame will gather. The
+    # gather's fast/slow mode is keyed on (rows, COLUMNS, table rows) — the
+    # round-4 tune always probed dim=21 (the geometry table), mistuning the
+    # semantic paths whose table is 21+16 wide. Callers that splat extras
+    # set this so resolved() probes the TRUE table shape.
+    extras_dim: int = 0
+
+    def packed_dim(self) -> int:
+        """Column count of the packed attribute table the pack gather moves
+        (blend_pallas.pack_flat_cols): 21 base + E extras + 4 rect columns
+        in clip_rect mode + 1 gid column in contributor-tracking mode."""
+        return (21 + self.extras_dim + (4 if self.clip_rect else 0)
+                + (1 if self.track_contrib else 0))
 
     def resolved(self, n: int) -> "RasterizeConfig":
         # auto caps are deliberately tight — the sort is O(pair_cap); callers
         # (trainers) grow caps when n_dropped > 0
+        import dataclasses
+
         import jax
         pair_cap = self.pair_cap or max(64 * 1024, 4 * n)
         tile_cap = self.tile_cap or min(pair_cap, 4096)
@@ -121,15 +136,11 @@ class RasterizeConfig:
             # see ops/gather_tune.py. Growing a cap is always safe.
             if self.tune_gather:
                 from .gather_tune import fast_gather_cap
-                pair_cap = fast_gather_cap(pair_cap, dim=21, src_rows=n + 1,
-                                           chunk=chunk)
+                pair_cap = fast_gather_cap(pair_cap, dim=self.packed_dim(),
+                                           src_rows=n + 1, chunk=chunk)
         tile_cap = ((tile_cap + chunk - 1) // chunk) * chunk
-        return RasterizeConfig(self.width, self.height, self.tile, chunk,
-                               pair_cap, tile_cap, self.track_contrib, impl,
-                               self.bwd_extras_only, self.pallas_chunk,
-                               self.fwd_viewer, self.clip_rect,
-                               self.no_depth_dist, self.opacity_cull,
-                               self.conic_cull, self.tune_gather)
+        return dataclasses.replace(self, chunk=chunk, pair_cap=pair_cap,
+                                   tile_cap=tile_cap, impl=impl)
 
 
 def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
@@ -323,6 +334,11 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
     zero tensor for densification gradients. y_offset/full_height (slab
     rendering): render pixel rows [y_offset, y_offset+cfg.height) of a
     full_height-tall image — the basis of image-space sharded rendering."""
+    if extras is not None and cfg.extras_dim != int(extras.shape[1]):
+        # single chokepoint for the true packed-table width: the fast-gather
+        # cap snap in resolved() must probe 21 + E columns, not 21
+        from dataclasses import replace
+        cfg = replace(cfg, extras_dim=int(extras.shape[1]))
     cfg = cfg.resolved(means3d.shape[0])
     if cached_binning is None and y_offset is None and full_height is None:
         plan = _slab_plan(cfg)
@@ -530,7 +546,8 @@ def compute_binning_cache(params, cam: CameraMats, width: int, height: int,
                           tile_cap: int = 0, impl: str = "auto",
                           pallas_chunk: int = 128, dilate_tiles: int = 0,
                           opacity_cull: bool = True,
-                          conic_cull: bool = False):
+                          conic_cull: bool = False, extras_dim: int = 0,
+                          tune_gather: bool = True):
     """Precompute the frozen-geometry binning for one camera. Returns
     (cache_tuple, tile_count, n_dropped); pass cache_tuple as
     rasterize(..., cached_binning=...). dilate_tiles expands every rect,
@@ -538,11 +555,16 @@ def compute_binning_cache(params, cam: CameraMats, width: int, height: int,
     cfg.clip_rect (see RasterizeConfig).
     opacity_cull must match the consuming RasterizeConfig so cached and
     fresh pair lists agree slot-for-slot (either way is output-exact — the
-    kernels re-mask — but n_contrib slot numbering follows the list)."""
+    kernels re-mask — but n_contrib slot numbering follows the list).
+    extras_dim: feature-column count the consuming step will gather — the
+    cache's pair_cap is what sizes that gather, so the fast-cap snap must
+    probe the true table width (RasterizeConfig.packed_dim)."""
     n = params.capacity
     cfg = RasterizeConfig(width=width, height=height, tile=tile,
                           pair_cap=pair_cap, tile_cap=tile_cap,
-                          impl=impl, pallas_chunk=pallas_chunk).resolved(n)
+                          impl=impl, pallas_chunk=pallas_chunk,
+                          extras_dim=extras_dim,
+                          tune_gather=tune_gather).resolved(n)
     layout = "visits" if cfg.impl == "pallas" else "padded"
     return _binning_cache_impl(
         params.xyz, params.scaling_activated(), params.rotation_normalized(),

@@ -152,7 +152,7 @@ def eval_step(params: GaussianParams, w2v, full_proj, campos, c2w_rot,
 
 
 def pick_step_cap(run_at_cap, base_cap: int, deltas=(0, 128, 256),
-                  warm: int = 6, k: int = 3) -> int:
+                  warm: int = 6, k: int = 3, return_ms: bool = False):
     """Step-level pair-cap autotune.
 
     The pack gather's fast/slow mode at a FIXED row count is decided per
@@ -172,7 +172,7 @@ def pick_step_cap(run_at_cap, base_cap: int, deltas=(0, 128, 256),
     import jax
     if (jax.default_backend() == "cpu"
             or os.environ.get("INSTASCENE_STEP_TUNE", "1") == "0"):
-        return base_cap
+        return (base_cap, None) if return_ms else base_cap
     results = []
     for d in deltas:
         cap = base_cap + d
@@ -198,9 +198,10 @@ def pick_step_cap(run_at_cap, base_cap: int, deltas=(0, 128, 256),
         except Exception:
             continue
     if not results:
-        return base_cap
+        return (base_cap, None) if return_ms else base_cap
     best = min(ms for ms, _ in results)
-    return next(c for ms, c in results if ms <= best * 1.015)
+    ms_pick, cap_pick = next((m, c) for m, c in results if m <= best * 1.015)
+    return (cap_pick, ms_pick) if return_ms else cap_pick
 
 
 @dataclass
@@ -340,12 +341,15 @@ class GeometryTrainer:
                 tuned = self._step_tune_snug(snug, iteration)
                 self._pair_cap = tuned
                 self._cap_exact = True
+                self._snug_base = snug
             self._post_densify_snug = True
 
-    def _step_tune_snug(self, snug: int, iteration: int) -> int:
-        """Time the real jitted train step at {snug, +128, +256} and return
-        the winner (pick_step_cap). No state is advanced — train_step is
-        pure and the outputs are discarded."""
+    def _step_tune_snug(self, snug: int, iteration: int,
+                        deltas=(0, 128, 256)) -> int:
+        """Time the real jitted train step at snug + each delta and return
+        the winner (pick_step_cap); records the winner's measured ms as the
+        steady-state expectation for the slow-roll watchdog (step()). No
+        state is advanced — train_step is pure, outputs are discarded."""
         import dataclasses
 
         import jax as _jax
@@ -383,7 +387,48 @@ class GeometryTrainer:
                     float(self.pipe.depth_ratio), has_prior)
                 return m["loss"]
             return run
-        return pick_step_cap(run_at_cap, snug)
+        cap, ms = pick_step_cap(run_at_cap, snug, deltas=deltas,
+                                return_ms=True)
+        self._tuned_step_ms = ms
+        return cap
+
+    def _steady_watch(self, iteration: int) -> None:
+        """Slow-roll watchdog (round 5; VERDICT r4 item 2): the gather's
+        in-program mode can flip when the runtime re-optimizes a warm
+        program, so the tuned cap's measured ms (pick_step_cap) is checked
+        against the MEDIAN inter-step wall time over a 200-step window
+        (median: robust to eval/save/log pauses inside the window). On a
+        >30% sustained regression, re-run the step tune at fresh caps
+        (+384/+512 — new programs, hence fresh gather rolls), re-pin, and
+        log the event; `slow_roll_events` counts them for the bench/CLI."""
+        tuned = getattr(self, "_tuned_step_ms", None)
+        if tuned is None or self.dp:
+            self._watch_prev = None
+            return
+        now = time.perf_counter()
+        prev = getattr(self, "_watch_prev", None)
+        self._watch_prev = now
+        if prev is None:
+            self._watch_deltas = []
+            return
+        self._watch_deltas.append(now - prev)
+        if len(self._watch_deltas) < 200:
+            return
+        med_ms = sorted(self._watch_deltas)[len(self._watch_deltas) // 2] * 1e3
+        self._watch_deltas = []
+        if med_ms <= tuned * 1.3:
+            return
+        self.slow_roll_events = getattr(self, "slow_roll_events", 0) + 1
+        shift = 384 * self.slow_roll_events
+        print(f"[steady_watch] iter {iteration}: median step {med_ms:.1f} ms "
+              f"vs tuned {tuned:.1f} ms — re-rolling the cap "
+              f"(event #{self.slow_roll_events})", flush=True)
+        base = getattr(self, "_snug_base", self._pair_cap)
+        tuned_cap = self._step_tune_snug(
+            base, iteration, deltas=(shift, shift + 128, shift + 256))
+        self._pair_cap = tuned_cap
+        self._cap_exact = True
+        self._watch_prev = None
 
     def _pop_cam(self) -> int:
         if not getattr(self, "_stack", None):
@@ -473,6 +518,7 @@ class GeometryTrainer:
 
         if iteration % 50 == 1:
             self._adapt_caps(metrics, iteration)
+        self._steady_watch(iteration)
 
         # densification schedule (train.py:139-151)
         if iteration < opt.densify_until_iter:

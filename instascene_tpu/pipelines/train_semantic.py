@@ -235,6 +235,106 @@ def _mv_tile_subsample_loss(params, seg_feature, mv: "SemanticMVBlock",
     return jnp.where(any_valid, cl, 0.0), mv_trunc
 
 
+def _mv_full_loss_merged(params, seg_feature, mv: "SemanticMVBlock", key,
+                         cf, batch: int, max_labels: int,
+                         cfg: RasterizeConfig, group_max: int = 0):
+    """Reference-exact multi-view ProtoNCE through MERGED virtual-image
+    launches (round 5; reference train_semantic.py:145-172).
+
+    Instead of five separate full-view renders (five pack gathers, five
+    fwd/bwd kernel launches, five chain reductions — measured 5.7x a plain
+    step at bench scale), the window's views are concatenated along the
+    TILE axis: view v's cached visit lists shift by v*(tiles, chunks,
+    slots), its packed attribute table stacks into one [V*(N+1), D] flat,
+    and ONE extras-only kernel launch blends all views (the kernel derives
+    pixel coords from tile % tiles_per_view, so per-view math is BIT-EXACT
+    — no homography shift). The backward likewise runs once over the
+    concatenated rows, reducing per (view, gaussian) through the cached
+    per-view chain indices with static offsets. Views are grouped into the
+    fewest launches whose visit arrays fit the kernel's SMEM scalar-
+    prefetch budget (blend_visits.VISIT_SMEM_BUDGET_BYTES).
+
+    Loss parity: the sampled pixels, their labels and their feature values
+    are identical to the per-view path (same sorted pair lists, same visit
+    masks, same blend order), so the loss matches _mv_full_loss to f32
+    exactness (tests/test_mv_merged.py pins this)."""
+    from ..ops.blend_pallas import pack_flat_cols
+    from ..ops.blend_visits import (VISIT_SMEM_BUDGET_BYTES,
+                                    blend_visits_diff)
+    from ..ops.preprocess import preprocess_gaussians
+
+    b = mv.binning
+    n_mv = mv.w2v.shape[0]
+    n1 = params.capacity + 1
+    cap = b.sorted_gid.shape[1]
+    vlen = b.visit_chunk.shape[1]
+    tile = cfg.tile
+    chunk = cfg.pallas_chunk
+    grid_x = (cfg.width + tile - 1) // tile
+    grid_y = (cfg.height + tile - 1) // tile
+    T_tiles = grid_x * grid_y
+    E = seg_feature.shape[1]
+    interp = jax.default_backend() == "cpu"
+    g_max = group_max or (max(1, VISIT_SMEM_BUDGET_BYTES // (5 * 4 * vlen))
+                          if not interp else n_mv)
+    groups = [list(range(s, min(s + g_max, n_mv)))
+              for s in range(0, n_mv, g_max)]
+
+    featn = seg_feature / (jnp.linalg.norm(
+        seg_feature, axis=1, keepdims=True) + 1e-6)
+    opac = params.opacity_activated()[:, 0]
+    scal = params.scaling_activated()
+    rot = params.rotation_normalized()
+    zeros3 = params.xyz * 0.0   # color column unused in extras-only mode
+
+    outs = []
+    for grp in groups:
+        V = len(grp)
+        flats = []
+        for v in grp:
+            pre = preprocess_gaussians(
+                params.xyz, scal, rot, mv.w2v[v], mv.full_proj[v],
+                mv.campos[v], cfg.width, cfg.height, color=zeros3,
+                tile=tile, alive=params.alive)
+            flats.append(pack_flat_cols(pre.T, pre.xy, pre.normal_view,
+                                        opac, pre.color, featn))
+        flat_cat = jnp.concatenate(flats, axis=0)
+        sl = slice(grp[0], grp[0] + V)
+
+        def off(a, k):
+            return (a[sl] + (jnp.arange(V, dtype=a.dtype) * k)[:, None]
+                    ).reshape(-1)
+        bundle9 = (off(b.sorted_gid, n1), off(b.visit_chunk, cap // chunk),
+                   off(b.visit_tile, T_tiles),
+                   b.visit_s0[sl].reshape(-1), b.visit_s1[sl].reshape(-1),
+                   off(b.visit_tstart, cap), off(b.gid_order, cap),
+                   off(b.gauss_offsets, cap), off(b.gauss_csum, cap))
+        out, _ = blend_visits_diff(flat_cat, bundle9, V * T_tiles, tile,
+                                   grid_x, E, interp, True, chunk,
+                                   False, False, T_tiles)
+        outs.append(out)
+
+    # sampling semantics identical to the reference (and to _mv_full_loss):
+    # uniform over label-valid pixels of the window's sorted segmaps
+    labels_mv = mv.segmaps.reshape(-1)
+    idx, any_valid = sample_valid_pixels(key, labels_mv > 0, batch)
+    HW = cfg.height * cfg.width
+    view_of = idx // HW
+    pix = idx % HW
+    y, x = pix // cfg.width, pix % cfg.width
+    t_loc = (y // tile) * grid_x + (x // tile)
+    p2 = (y % tile) * tile + (x % tile)
+    f_mv = 0.0
+    for gi, grp in enumerate(groups):
+        V = len(grp)
+        local_v = jnp.clip(view_of - grp[0], 0, V - 1)
+        fv = outs[gi][local_v * T_tiles + t_loc, 10:10 + E, p2]  # [batch, E]
+        in_grp = (view_of >= grp[0]) & (view_of < grp[0] + V)
+        f_mv = f_mv + jnp.where(in_grp[:, None], fv, 0.0)
+    cl = contrastive_loss(f_mv, labels_mv[idx], max_labels, predef_u=cf)
+    return jnp.where(any_valid, cl, 0.0)
+
+
 def _mv_full_loss(params, seg_feature, mv: "SemanticMVBlock", key, cf,
                   bg, batch: int, max_labels: int, cfg: RasterizeConfig):
     """Reference-exact multi-view ProtoNCE: render all n_mv full views
@@ -309,8 +409,17 @@ def semantic_train_step(params, opt_state, key, cam: SemanticCamera,
             total = total + cl * hyp.lam_mv
         elif mv is not None:
             k, sub = jax.random.split(k)
-            cl = _mv_full_loss(params, seg_feature, mv, sub, cf, hyp.bg,
-                               batch, max_labels, cfg)
+            from ..ops.rasterize import VisitBinningCache
+            if isinstance(mv.binning, VisitBinningCache):
+                # visit-layout caches (pallas path): merged virtual-image
+                # launches — one gather + one fwd/bwd kernel per view GROUP
+                # instead of five separate full renders (f32-exact parity,
+                # tests/test_mv_merged.py)
+                cl = _mv_full_loss_merged(params, seg_feature, mv, sub, cf,
+                                          batch, max_labels, cfg)
+            else:
+                cl = _mv_full_loss(params, seg_feature, mv, sub, cf, hyp.bg,
+                                   batch, max_labels, cfg)
             total = total + cl * hyp.lam_mv
         return total, mv_trunc
 
@@ -446,18 +555,19 @@ class SegSplatting:
         pair_cap = max(128 * 1024,
                        (int(max_pairs * 1.1) + 1023) // 1024 * 1024)
         impl = getattr(self.pipe, "rasterizer_impl", "auto")
+        edim = int(self.dataset.seg_feat_dim)  # true gather width: 21 + E
         cache = []
         for ct, cam in zip(self.cams, self.cam_objs):
             cb, tc, nd = compute_binning_cache(
                 self.params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
                 int(cam.width), int(cam.height), tile=tile, tile_cap=k,
-                pair_cap=pair_cap, impl=impl)
+                pair_cap=pair_cap, impl=impl, extras_dim=edim)
             if int(nd) > 0:  # safety: grow once on overflow
                 pair_cap *= 2
                 cb, tc, nd = compute_binning_cache(
                     self.params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
                     int(cam.width), int(cam.height), tile=tile, tile_cap=k,
-                    pair_cap=pair_cap, impl=impl)
+                    pair_cap=pair_cap, impl=impl, extras_dim=edim)
             cache.append(cb)
         self.binning_cache = cache
         self.binning_k = k
@@ -556,7 +666,8 @@ class SegSplatting:
         width, height = sizes.pop()
         cfg = RasterizeConfig(
             width=width, height=height, bwd_extras_only=True,
-            impl=getattr(self.pipe, "rasterizer_impl", "auto"))
+            impl=getattr(self.pipe, "rasterizer_impl", "auto"),
+            extras_dim=int(self.dataset.seg_feat_dim))
         seg_cs, sorted_cs, vis_cs = self.sampling_packs
         has_cf = self.class_feat is not None
         cf = (jnp.asarray(np.pad(self.class_feat,
@@ -659,7 +770,8 @@ class SegSplatting:
                 scfg_of[wh] = SemanticStepConfig(
                     raster=RasterizeConfig(
                         width=wh[0], height=wh[1], bwd_extras_only=True,
-                        impl=getattr(self.pipe, "rasterizer_impl", "auto")),
+                        impl=getattr(self.pipe, "rasterizer_impl", "auto"),
+                        extras_dim=int(self.dataset.seg_feat_dim)),
                     batch=int(opt.sample_batchsize), max_labels=max_labels,
                     consider_negative=bool(opt.consider_negative_labels))
             return scfg_of[wh]
