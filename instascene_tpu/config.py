@@ -93,6 +93,12 @@ class OptimizationParams:
     # images (~10x less multi-view render work; two-stage uniform pixel
     # sampling, slightly higher gradient variance). 0 = reference-exact.
     mv_tile_subsample: int = 0
+    # TPU addition (no reference flag): route the reference-exact multi-view
+    # loss through merged virtual-image launches (one kernel per view group)
+    # instead of per-view renders. Measured SLOWER at bench scale on v5e
+    # (probe_mv_merge: 5.7x a plain step vs 4.6x separate), so default off;
+    # kept because the crossover favors it for narrower/taller windows.
+    mv_merged: int = 0
     percent_dense: float = 0.01
     lambda_dssim: float = 0.2
     lambda_dist: float = 0.0

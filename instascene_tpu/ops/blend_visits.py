@@ -63,7 +63,16 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
                        packed_ref, *refs, tile, grid_x, num_tiles,
                        n_extra, chunk=CHUNK, extras_only=False, viewer=False,
                        track=False, clip_rect=False, no_dist=False,
-                       tiles_per_view=0):
+                       tiles_per_view=0, sampled_done=False):
+    if sampled_done:
+        # sampled-pixel mode (extras_only consumers whose loss reads only a
+        # sampled pixel subset): done0 pre-latches every UNSAMPLED pixel, so
+        # the whole-visit early termination fires once the tile's few
+        # sampled pixels saturate. Sampled pixels' outputs are bit-identical
+        # to the full render (a pixel's blend is independent of its
+        # neighbors); unsampled outputs are zeros and must not be consumed.
+        done0_ref = refs[0]
+        refs = refs[1:]
     if track:
         # track mode: full body + the w>0.1 contributor buffer (the CUDA
         # gau_related_pixels analogue, forward.cu:422-428, deterministic
@@ -101,7 +110,8 @@ def _fwd_kernel_visits(vt_ref, vc_ref, vs0_ref, vs1_ref, vts_ref,
         Tst[...] = jnp.ones_like(Tst)
         m1s[...] = jnp.zeros_like(m1s)
         m2s[...] = jnp.zeros_like(m2s)
-        done_s[...] = jnp.zeros_like(done_s)
+        done_s[...] = done0_ref[0] if sampled_done \
+            else jnp.zeros_like(done_s)
         if track:
             tid_ref[...] = jnp.full_like(tid_ref, -1)
             tw_ref[...] = jnp.zeros_like(tw_ref)
@@ -308,14 +318,18 @@ def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
                             extras_only: bool = False,
                             viewer: bool = False, track: bool = False,
                             clip_rect: bool = False, no_dist: bool = False,
-                            tiles_per_view: int = 0):
+                            tiles_per_view: int = 0, done0=None):
     """packed [P, D] slot-major (P = pair_cap, % chunk == 0). With track,
     packed's last column must be the gaussian id (f32) and the return gains
     (contrib_ids [T,K,P2] int32, contrib_w [T,K,P2] f32). tiles_per_view
     (merged virtual-image mode): num_tiles spans several views' grids
-    stacked along the tile axis; pixel coords derive from tile % it."""
+    stacked along the tile axis; pixel coords derive from tile % it.
+    done0 [num_tiles, 1, P2] int32 (extras_only mode only): 1 pre-latches a
+    pixel done (sampled-pixel fast path — see _fwd_kernel_visits)."""
     P, D = packed.shape
     assert P % chunk == 0, P
+    assert done0 is None or extras_only, \
+        "sampled-done masks serve the extras_only kernel only"
     V = visit_tile.shape[0]
     _check_visit_budget(V, interpret)
     P2 = tile * tile
@@ -343,11 +357,17 @@ def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
             jax.ShapeDtypeStruct((num_tiles, TRACK_K, P2), jnp.float32)]
         scratch += [pltpu.VMEM((1, P2), jnp.float32)]   # contributor count
 
+    in_specs = [pl.BlockSpec((chunk, D),
+                             lambda i, vt, vc, s0, s1, ts: (vc[i], 0))]
+    inputs = [packed]
+    if done0 is not None:
+        in_specs.append(pl.BlockSpec(
+            (1, 1, P2), lambda i, vt, vc, s0, s1, ts: (vt[i], 0, 0)))
+        inputs.append(done0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(V,),
-        in_specs=[pl.BlockSpec((chunk, D),
-                               lambda i, vt, vc, s0, s1, ts: (vc[i], 0))],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
@@ -357,13 +377,14 @@ def blend_fwd_pallas_visits(packed, visit_tile, visit_chunk, visit_s0,
                                chunk=chunk, extras_only=extras_only,
                                viewer=viewer, track=track,
                                clip_rect=clip_rect, no_dist=no_dist,
-                               tiles_per_view=tiles_per_view)
+                               tiles_per_view=tiles_per_view,
+                               sampled_done=done0 is not None)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(visit_tile, visit_chunk, visit_s0, visit_s1, visit_tstart, packed)
+    )(visit_tile, visit_chunk, visit_s0, visit_s1, visit_tstart, *inputs)
     if track:
         out, iout, tids, tw = outs
         return PallasBlendFwdOut(out=out, iout=iout), tids, tw
@@ -590,7 +611,8 @@ def blend_bwd_pallas_visits(packed, gout, saved, iout, visit_tile,
 
 def _visits_fwd_impl(flat, bundle, num_tiles, tile, grid_x, n_extra,
                      interpret, chunk=CHUNK, extras_only=False, viewer=False,
-                     clip_rect=False, no_dist=False, tiles_per_view=0):
+                     clip_rect=False, no_dist=False, tiles_per_view=0,
+                     done0=None):
     sorted_gid, vc, vt, vs0, vs1, vts = bundle[:6]
     packed = flat[sorted_gid]                 # [P, D] slot-major
     f = blend_fwd_pallas_visits(packed, vt, vc, vs0, vs1, vts, num_tiles,
@@ -598,13 +620,13 @@ def _visits_fwd_impl(flat, bundle, num_tiles, tile, grid_x, n_extra,
                                 chunk=chunk, extras_only=extras_only,
                                 viewer=viewer, clip_rect=clip_rect,
                                 no_dist=no_dist,
-                                tiles_per_view=tiles_per_view)
+                                tiles_per_view=tiles_per_view, done0=done0)
     return f.out, f.iout, packed
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
-def blend_visits_diff(flat, binning_bundle, num_tiles, tile, grid_x,
+                   nondiff_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12))
+def blend_visits_diff(flat, binning_bundle, done0, num_tiles, tile, grid_x,
                       n_extra, interpret, extras_only=False, chunk=CHUNK,
                       clip_rect=False, no_dist=False, tiles_per_view=0):
     """Differentiable visit-layout Pallas blend.
@@ -612,7 +634,12 @@ def blend_visits_diff(flat, binning_bundle, num_tiles, tile, grid_x,
     flat [N+1, D] per-gaussian packed attrs (sentinel zero row last);
     binning_bundle = (sorted_gid, visit_chunk, visit_tile, visit_s0,
     visit_s1, visit_tstart[, gid_order, gauss_offsets, gauss_csum]) — index
-    data, non-differentiable. clip_rect: flat carries 4 trailing tile-rect
+    data, non-differentiable. done0 (None, or [num_tiles, 1, P2] int32,
+    extras_only mode): sampled-pixel fast path — 1 pre-latches a pixel done,
+    so only sampled (0) pixels blend; their values and grads are
+    bit-identical to done0=None while the whole-visit early termination
+    skips most of the kernel (tests/test_sampled_done.py pins this).
+    clip_rect: flat carries 4 trailing tile-rect
     columns and contributions are gated by tile ∈ rect (cached-superset
     mode, pack_flat_cols rect=). tiles_per_view: merged virtual-image mode
     (several views' tile grids concatenated; flat stacks the views' packed
@@ -623,7 +650,8 @@ def blend_visits_diff(flat, binning_bundle, num_tiles, tile, grid_x,
                                     grid_x, n_extra, interpret, chunk,
                                     extras_only, clip_rect=clip_rect,
                                     no_dist=no_dist,
-                                    tiles_per_view=tiles_per_view)
+                                    tiles_per_view=tiles_per_view,
+                                    done0=done0)
     return out, iout
 
 
@@ -656,14 +684,16 @@ def blend_visits_track(flat, binning_bundle, num_tiles, tile, grid_x,
     return f.out, f.iout, tids, tw
 
 
-def _blend_visits_diff_fwd(flat, bundle, num_tiles, tile, grid_x, n_extra,
-                           interpret, extras_only=False, chunk=CHUNK,
-                           clip_rect=False, no_dist=False, tiles_per_view=0):
+def _blend_visits_diff_fwd(flat, bundle, done0, num_tiles, tile, grid_x,
+                           n_extra, interpret, extras_only=False,
+                           chunk=CHUNK, clip_rect=False, no_dist=False,
+                           tiles_per_view=0):
     out, iout, packed = _visits_fwd_impl(flat, bundle, num_tiles, tile,
                                          grid_x, n_extra, interpret, chunk,
                                          extras_only, clip_rect=clip_rect,
                                          no_dist=no_dist,
-                                         tiles_per_view=tiles_per_view)
+                                         tiles_per_view=tiles_per_view,
+                                         done0=done0)
     E = n_extra
     saved = jnp.concatenate([out[:, 9:10], out[:, 10 + E:12 + E]], axis=1)
     return (out, iout), (packed, bundle, saved, iout, flat.shape[0])
@@ -712,7 +742,10 @@ def _blend_visits_diff_bwd(num_tiles, tile, grid_x, n_extra, interpret,
         # full-mode kernel already emits their zero columns
         d_flat = jnp.concatenate([d_flat, jnp.zeros((n1, 4), d_flat.dtype)],
                                  axis=1)
-    return d_flat, None
+    # done0's masked pixels carry zero cotangents structurally (their
+    # n_contrib is 0, so the reverse walk's cmask never fires for them) —
+    # the backward kernel needs no mask input
+    return d_flat, None, None
 
 
 blend_visits_diff.defvjp(_blend_visits_diff_fwd, _blend_visits_diff_bwd)

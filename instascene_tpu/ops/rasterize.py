@@ -144,7 +144,7 @@ class RasterizeConfig:
 
 
 def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
-                      width, height, cfg, visits_bundle=None):
+                      width, height, cfg, visits_bundle=None, done0=None):
     """Differentiable Pallas blend → BlendOut, over the compact-sorted visit
     layout (full-frame default, round-3 redesign) or the aligned-flat layout
     (tile-subset / cached-aligned bundles). Tracker unsupported here —
@@ -202,7 +202,9 @@ def _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
                                             interp, cfg.pallas_chunk,
                                             clip_rect=cfg.clip_rect)
         else:
-            out, iout = blend_visits_diff(flat, tuple(visits_bundle),
+            assert done0 is None or cfg.bwd_extras_only, \
+                "sampled-done masks require the extras-only mode"
+            out, iout = blend_visits_diff(flat, tuple(visits_bundle), done0,
                                           num_tiles, cfg.tile, grid_x, E,
                                           interp, cfg.bwd_extras_only,
                                           cfg.pallas_chunk,
@@ -242,7 +244,8 @@ class RasterizeOut(NamedTuple):
 def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
                     campos, bg, colors, shs, extras, t_offset, alive,
                     cached_binning, width, height, sh_degree,
-                    cfg: RasterizeConfig, y_offset=None, full_height=None):
+                    cfg: RasterizeConfig, y_offset=None, full_height=None,
+                    done0=None):
     pre = preprocess_gaussians(
         means3d, scales, rotations, w2v, full_proj, campos, width, height,
         color=colors, shs=shs, sh_degree=sh_degree, tile=cfg.tile, alive=alive,
@@ -289,7 +292,8 @@ def _rasterize_impl(means3d, scales, rotations, opacities, w2v, full_proj,
         vb = (cached_binning if cached_binning is not None
               and len(cached_binning) in (6, 9, 10) else None)
         out = _blend_via_pallas(pre, T_used, opacities, extras, binning, bg,
-                                width, height, cfg, visits_bundle=vb)
+                                width, height, cfg, visits_bundle=vb,
+                                done0=done0)
         return RasterizeOut(blend=out,
                             radii=pre.radius.astype(jnp.int32),
                             visible=pre.valid & (pre.radius > 0),
@@ -325,7 +329,8 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
               t_offset: Optional[jnp.ndarray] = None,
               alive: Optional[jnp.ndarray] = None,
               cached_binning=None, y_offset=None,
-              full_height: Optional[int] = None) -> RasterizeOut:
+              full_height: Optional[int] = None,
+              done0: Optional[jnp.ndarray] = None) -> RasterizeOut:
     """Rasterize 2D Gaussian surfels.
 
     means3d [N,3]; scales [N,2] (activated); rotations [N,4] (w,x,y,z);
@@ -333,14 +338,20 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
     [N,K,3]; extras [N,E] optional feature channels; t_offset [N,3,3] optional
     zero tensor for densification gradients. y_offset/full_height (slab
     rendering): render pixel rows [y_offset, y_offset+cfg.height) of a
-    full_height-tall image — the basis of image-space sharded rendering."""
+    full_height-tall image — the basis of image-space sharded rendering.
+    done0 [num_tiles, 1, tile*tile] int32 (pallas visit path with
+    bwd_extras_only only): sampled-pixel fast path — 1 pre-latches a pixel
+    done; sampled (0) pixels' extras and grads are bit-identical to
+    done0=None while unsampled outputs come back zero (must not be
+    consumed). See blend_visits.blend_visits_diff."""
     if extras is not None and cfg.extras_dim != int(extras.shape[1]):
         # single chokepoint for the true packed-table width: the fast-gather
         # cap snap in resolved() must probe 21 + E columns, not 21
         from dataclasses import replace
         cfg = replace(cfg, extras_dim=int(extras.shape[1]))
     cfg = cfg.resolved(means3d.shape[0])
-    if cached_binning is None and y_offset is None and full_height is None:
+    if (cached_binning is None and y_offset is None and full_height is None
+            and done0 is None):
         plan = _slab_plan(cfg)
         if plan is not None:
             return _rasterize_slabs(means3d, scales, rotations, opacities,
@@ -350,7 +361,7 @@ def rasterize(means3d: jnp.ndarray, scales: jnp.ndarray, rotations: jnp.ndarray,
                            cam.w2v, cam.full_proj, cam.campos, bg,
                            colors, shs, extras, t_offset, alive,
                            cached_binning, cfg.width, cfg.height, sh_degree,
-                           cfg, y_offset, full_height)
+                           cfg, y_offset, full_height, done0)
 
 
 def _slab_plan(cfg: RasterizeConfig):

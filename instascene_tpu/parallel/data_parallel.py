@@ -141,7 +141,9 @@ def build_dp_semantic_step(cfg: RasterizeConfig, mesh: Mesh,
     returns (params, opt_state, loss)."""
     from jax.experimental.shard_map import shard_map
 
-    from ..pipelines.train_semantic import (render_features,
+    from ..pipelines.train_semantic import (_done0_from_idx,
+                                            _draw_sv_pixel_idx,
+                                            render_features,
                                             single_view_and_3d_losses)
 
     def per_device(params, opt_state, key, w2v, full_proj, campos, segmap,
@@ -151,16 +153,30 @@ def build_dp_semantic_step(cfg: RasterizeConfig, mesh: Mesh,
         cf = class_feat if has_class_feat else None
         cb = (tuple(a[0] for a in cached_binning)
               if has_cached_binning else None)
+        # sampled-done fast path on visit-layout (len-10) caches: same
+        # draw-before-render restructure as the single-chip step
+        use_done = cb is not None and len(cb) == 10
 
         def loss_fn(feat):
-            out = render_features(params, cam, bg, cfg, feat, cb)
+            sv_draws = done0 = None
+            if use_done:
+                sv_draws, _ = _draw_sv_pixel_idx(
+                    key[0], segmap[0], sorted_segmap[0], cf, batch,
+                    consider_negative, has_sampler,
+                    seg_samp[0] if has_sampler else None,
+                    sorted_samp[0] if has_sampler else None)
+                done0 = _done0_from_idx([d[0] for d in sv_draws],
+                                        cfg.width, cfg.height, cfg.tile)
+            out = render_features(params, cam, bg, cfg, feat, cb,
+                                  done0=done0)
             return single_view_and_3d_losses(
                 params, feat, out, key[0], segmap[0], sorted_segmap[0],
                 seg3d_labels, cf, lam_sv, lam_3d, batch, max_labels,
                 consider_negative, has_sampler,
                 seg_samp[0] if has_sampler else None,
                 sorted_samp[0] if has_sampler else None,
-                vis3d_samp[0] if has_sampler else None, tile=cfg.tile)
+                vis3d_samp[0] if has_sampler else None, tile=cfg.tile,
+                sv_draws=sv_draws)
 
         loss, g = jax.value_and_grad(loss_fn)(params.seg_feature)
         g = jax.lax.pmean(g, "data")

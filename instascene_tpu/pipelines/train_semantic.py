@@ -36,10 +36,11 @@ from .train import CameraTensors, camera_tensors
 
 def render_features(params: gmod.GaussianParams, cam: CameraMats, bg,
                     cfg: RasterizeConfig, seg_feature: Optional[jnp.ndarray]
-                    = None, cached_binning=None):
+                    = None, cached_binning=None, done0=None):
     """Render with the (possibly externally-supplied, for grad) seg feature.
     `cached_binning=(tile_indices, tile_count)` skips the expand+sort — valid
-    because geometry is frozen during semantic training."""
+    because geometry is frozen during semantic training. done0 (pallas visit
+    caches only): sampled-pixel done mask — see ops.rasterize.rasterize."""
     feat = seg_feature if seg_feature is not None else params.seg_feature
     if feat is not None:
         feat = feat / (jnp.linalg.norm(feat, axis=1, keepdims=True) + 1e-6)
@@ -48,7 +49,62 @@ def render_features(params: gmod.GaussianParams, cam: CameraMats, bg,
                      params.opacity_activated()[:, 0], cam, bg, cfg,
                      shs=params.features(),
                      sh_degree=params.active_sh_degree, extras=feat,
-                     alive=params.alive, cached_binning=cached_binning)
+                     alive=params.alive, cached_binning=cached_binning,
+                     done0=done0)
+
+
+def _pix_to_tile(idx, width, tile, grid_x):
+    """Flat pixel index -> (tile index, within-tile row-major position)."""
+    y, x = idx // width, idx % width
+    t = (y // tile) * grid_x + (x // tile)
+    p2 = (y % tile) * tile + (x % tile)
+    return t, p2
+
+
+def _done0_from_idx(idx_list, width, height, tile):
+    """[num_tiles, 1, P2] int32 done-mask: 1 everywhere except the sampled
+    flat pixel indices in `idx_list` (each [batch] int32). Pixels the loss
+    never reads start 'done', so the extras kernels' whole-visit early
+    termination fires once the few sampled pixels per tile saturate —
+    bit-exact for the sampled values (a pixel's blend is independent of its
+    neighbors; tests/test_sampled_done.py)."""
+    grid_x = (width + tile - 1) // tile
+    grid_y = (height + tile - 1) // tile
+    d = jnp.ones((grid_x * grid_y, 1, tile * tile), jnp.int32)
+    for idx in idx_list:
+        t, p2 = _pix_to_tile(idx, width, tile, grid_x)
+        d = d.at[t, jnp.zeros_like(t), p2].set(0)
+    return d
+
+
+def _draw_sv_pixel_idx(key, segmap, sorted_segmap, cf, batch: int,
+                       consider_negative: bool, has_sampler: bool,
+                       seg_samp, sorted_samp):
+    """Draw the single-view losses' pixel index sets BEFORE rendering (the
+    draws depend only on the segmaps/samplers, never on the render), so the
+    render can be given a sampled-pixel done mask. Key-splitting order is
+    identical to the in-loss drawing it replaces — the sampled indices, and
+    therefore the losses, are bit-identical. Returns (draws, k) where draws
+    is [(idx, any_valid, neg)] per segmap type and k the advanced key."""
+    H, W = segmap.shape
+    seg_list = ([(segmap, 0)] if cf is None
+                else [(segmap, 0), (sorted_segmap, 1)])
+    k = key
+    draws = []
+    for seg, mask_type in seg_list:
+        labels_flat = seg.reshape(-1)
+        neg = consider_negative and mask_type == 0
+        k, sub = jax.random.split(k)
+        if neg:
+            idx = jax.random.randint(sub, (batch,), 0, labels_flat.shape[0])
+            any_valid = jnp.bool_(True)
+        elif has_sampler:
+            idx, any_valid = sample_from_ids(
+                sub, seg_samp if mask_type == 0 else sorted_samp, batch)
+        else:
+            idx, any_valid = sample_valid_pixels(sub, labels_flat > 0, batch)
+        draws.append((idx, any_valid, neg))
+    return draws, k
 
 
 def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
@@ -56,7 +112,7 @@ def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
                               lam_3d, batch, max_labels,
                               consider_negative: bool, has_sampler: bool,
                               seg_samp, sorted_samp, vis3d_samp,
-                              tile: int = 16):
+                              tile: int = 16, sv_draws=None):
     """Single-view ProtoNCE on [raw/filtered, sorted] segmaps + 3D ProtoNCE
     over visible gaussians (reference train_semantic.py:108-141, :175-195).
     `out` is the camera's feature render. Shared by the single-chip step and
@@ -66,7 +122,11 @@ def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
     (out.blend.extra_tiles) when available: converting the flat pixel index
     to (tile, in-tile) coordinates lets XLA dead-code-eliminate the
     [H,W,E] feature-map transpose AND its gradient un-transpose (~6 ms/step
-    at 976x728x16 on v5e) — only the 32k sampled rows ever materialize."""
+    at 976x728x16 on v5e) — only the 32k sampled rows ever materialize.
+
+    sv_draws: pre-drawn pixel index sets from _draw_sv_pixel_idx (the
+    sampled-done fast path draws before rendering); the key is then advanced
+    by the same splits so the 3D draw below stays bit-identical."""
     H, W = segmap.shape
     ext_tiles = out.blend.extra_tiles
 
@@ -74,28 +134,23 @@ def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
         if ext_tiles is None:
             return out.blend.extra.reshape(-1, seg_feature.shape[1])[idx]
         grid_x = (W + tile - 1) // tile
-        y, x = idx // W, idx % W
-        t = (y // tile) * grid_x + (x // tile)
-        p2 = (y % tile) * tile + (x % tile)
+        t, p2 = _pix_to_tile(idx, W, tile, grid_x)
         return ext_tiles[t, :, p2]                       # [batch, E]
+
+    if sv_draws is None:
+        sv_draws, k = _draw_sv_pixel_idx(
+            key, segmap, sorted_segmap, cf, batch, consider_negative,
+            has_sampler, seg_samp, sorted_samp)
+    else:
+        k = key
+        for _ in sv_draws:          # burn the same splits (key parity)
+            k, _sub = jax.random.split(k)
 
     total = 0.0
     seg_list = ([(segmap, 0)] if cf is None
                 else [(segmap, 0), (sorted_segmap, 1)])
-    k = key
-    for seg, mask_type in seg_list:
+    for (seg, mask_type), (idx, any_valid, neg) in zip(seg_list, sv_draws):
         labels_flat = seg.reshape(-1)
-        neg = consider_negative and mask_type == 0
-        k, sub = jax.random.split(k)
-        if neg:
-            # every pixel valid — plain uniform indices
-            idx = jax.random.randint(sub, (batch,), 0, labels_flat.shape[0])
-            any_valid = jnp.bool_(True)
-        elif has_sampler:
-            idx, any_valid = sample_from_ids(
-                sub, seg_samp if mask_type == 0 else sorted_samp, batch)
-        else:
-            idx, any_valid = sample_valid_pixels(sub, labels_flat > 0, batch)
         f = fetch(idx)
         l = labels_flat[idx]
         weight = 1.0 if mask_type == 1 else 0.5
@@ -169,6 +224,8 @@ class SemanticStepConfig:
     batch: int
     max_labels: int
     consider_negative: bool = False
+    # opt-in: merged virtual-image MV launches (see config.mv_merged)
+    mv_merged: bool = False
 
 
 def _mv_tile_subsample_loss(params, seg_feature, mv: "SemanticMVBlock",
@@ -309,8 +366,8 @@ def _mv_full_loss_merged(params, seg_feature, mv: "SemanticMVBlock", key,
                    b.visit_s0[sl].reshape(-1), b.visit_s1[sl].reshape(-1),
                    off(b.visit_tstart, cap), off(b.gid_order, cap),
                    off(b.gauss_offsets, cap), off(b.gauss_csum, cap))
-        out, _ = blend_visits_diff(flat_cat, bundle9, V * T_tiles, tile,
-                                   grid_x, E, interp, True, chunk,
+        out, _ = blend_visits_diff(flat_cat, bundle9, None, V * T_tiles,
+                                   tile, grid_x, E, interp, True, chunk,
                                    False, False, T_tiles)
         outs.append(out)
 
@@ -336,32 +393,45 @@ def _mv_full_loss_merged(params, seg_feature, mv: "SemanticMVBlock", key,
 
 
 def _mv_full_loss(params, seg_feature, mv: "SemanticMVBlock", key, cf,
-                  bg, batch: int, max_labels: int, cfg: RasterizeConfig):
+                  bg, batch: int, max_labels: int, cfg: RasterizeConfig,
+                  sampled_done: bool = False):
     """Reference-exact multi-view ProtoNCE: render all n_mv full views
-    (train_semantic.py:145-172)."""
+    (train_semantic.py:145-172). sampled_done (pallas visit caches): the
+    batch pixels are drawn BEFORE rendering (they depend only on the
+    segmaps) and each view renders with a done mask latching every
+    unsampled pixel — the sampled features are bit-identical while the
+    extras kernels skip almost all tile work (~2-3 sampled pixels per tile
+    at the reference batch size)."""
     n_mv = mv.w2v.shape[0]
-
-    def render_one(i):
-        mcam = CameraMats(mv.w2v[i], mv.full_proj[i], mv.campos[i])
-        cb = (None if mv.binning is None else
-              jax.tree.map(lambda a: a[i], mv.binning))
-        return render_features(params, mcam, bg, cfg, seg_feature, cb).blend
-
-    blends = [render_one(i) for i in range(n_mv)]
     labels_mv = mv.segmaps.reshape(-1)
     idx, any_valid = sample_valid_pixels(key, labels_mv > 0, batch)
     HW = cfg.height * cfg.width
     view_of = idx // HW
     pix = idx % HW
+    grid_x = (cfg.width + cfg.tile - 1) // cfg.tile
+    t, p2 = _pix_to_tile(pix, cfg.width, cfg.tile, grid_x)
+
+    done_v = None
+    if sampled_done:
+        grid_y = (cfg.height + cfg.tile - 1) // cfg.tile
+        done_v = jnp.ones((n_mv, grid_x * grid_y, 1,
+                           cfg.tile * cfg.tile), jnp.int32
+                          ).at[view_of, t, jnp.zeros_like(t), p2].set(0)
+
+    def render_one(i):
+        mcam = CameraMats(mv.w2v[i], mv.full_proj[i], mv.campos[i])
+        cb = (None if mv.binning is None else
+              jax.tree.map(lambda a: a[i], mv.binning))
+        return render_features(
+            params, mcam, bg, cfg, seg_feature, cb,
+            done0=None if done_v is None else done_v[i]).blend
+
+    blends = [render_one(i) for i in range(n_mv)]
     if blends[0].extra_tiles is not None:
         # fetch the sampled features straight from the kernels' tile-major
         # output (same trick as the single-view loss): the five [H,W,E]
         # map transposes and their gradient un-transposes
         # dead-code-eliminate (~6 ms each at 976x728x16 on v5e)
-        grid_x = (cfg.width + cfg.tile - 1) // cfg.tile
-        y, x = pix // cfg.width, pix % cfg.width
-        t = (y // cfg.tile) * grid_x + (x // cfg.tile)
-        p2 = (y % cfg.tile) * cfg.tile + (x % cfg.tile)
         # per-view masked gathers (batch-sized) instead of stacking the
         # five tile-major buffers into one [V,T,E,P2] copy
         f_mv = 0.0
@@ -390,16 +460,32 @@ def semantic_train_step(params, opt_state, key, cam: SemanticCamera,
     cf = hyp.class_feat
     has_sampler = cam.seg_samp is not None
 
+    from ..ops.rasterize import VisitBinningCache
+    # sampled-done fast path: the losses read the render at sampled pixels
+    # only, so unsampled pixels pre-latch 'done' and the extras kernels
+    # skip most visit work — bit-identical losses (test_sampled_done.py).
+    # Visit-layout (pallas) caches only.
+    use_done = isinstance(cam.binning, VisitBinningCache)
+
     def loss_fn(seg_feature):
         mv_trunc = jnp.int32(0)
-        out = render_features(params, cam_m, hyp.bg, cfg, seg_feature,
-                              cam.binning)
         k, k_sv = jax.random.split(key)
+        sv_draws = done0 = None
+        if use_done:
+            sv_draws, _ = _draw_sv_pixel_idx(
+                k_sv, cam.segmap, cam.sorted_segmap, cf, batch,
+                scfg.consider_negative, has_sampler, cam.seg_samp,
+                cam.sorted_samp)
+            done0 = _done0_from_idx([d[0] for d in sv_draws],
+                                    cfg.width, cfg.height, cfg.tile)
+        out = render_features(params, cam_m, hyp.bg, cfg, seg_feature,
+                              cam.binning, done0=done0)
         total = single_view_and_3d_losses(
             params, seg_feature, out, k_sv, cam.segmap, cam.sorted_segmap,
             hyp.seg3d_labels, cf, hyp.lam_sv, hyp.lam_3d, batch, max_labels,
             scfg.consider_negative, has_sampler, cam.seg_samp,
-            cam.sorted_samp, cam.vis3d_samp, tile=cfg.tile)
+            cam.sorted_samp, cam.vis3d_samp, tile=cfg.tile,
+            sv_draws=sv_draws)
 
         # multi-view over consecutive views every 10th iter (:145-172)
         if mv is not None and mv.sel_tiles is not None:
@@ -409,17 +495,19 @@ def semantic_train_step(params, opt_state, key, cam: SemanticCamera,
             total = total + cl * hyp.lam_mv
         elif mv is not None:
             k, sub = jax.random.split(k)
-            from ..ops.rasterize import VisitBinningCache
-            if isinstance(mv.binning, VisitBinningCache):
-                # visit-layout caches (pallas path): merged virtual-image
-                # launches — one gather + one fwd/bwd kernel per view GROUP
-                # instead of five separate full renders (f32-exact parity,
-                # tests/test_mv_merged.py)
+            if scfg.mv_merged and isinstance(mv.binning, VisitBinningCache):
+                # opt-in (config.mv_merged): merged virtual-image launches —
+                # one gather + one fwd/bwd kernel per view GROUP instead of
+                # five separate full renders (f32-exact parity,
+                # tests/test_mv_merged.py). Default OFF: measured slower at
+                # bench scale (probe_mv_merge, docs/PERFORMANCE.md).
                 cl = _mv_full_loss_merged(params, seg_feature, mv, sub, cf,
                                           batch, max_labels, cfg)
             else:
-                cl = _mv_full_loss(params, seg_feature, mv, sub, cf, hyp.bg,
-                                   batch, max_labels, cfg)
+                cl = _mv_full_loss(
+                    params, seg_feature, mv, sub, cf, hyp.bg, batch,
+                    max_labels, cfg,
+                    sampled_done=isinstance(mv.binning, VisitBinningCache))
             total = total + cl * hyp.lam_mv
         return total, mv_trunc
 
@@ -773,7 +861,8 @@ class SegSplatting:
                         impl=getattr(self.pipe, "rasterizer_impl", "auto"),
                         extras_dim=int(self.dataset.seg_feat_dim)),
                     batch=int(opt.sample_batchsize), max_labels=max_labels,
-                    consider_negative=bool(opt.consider_negative_labels))
+                    consider_negative=bool(opt.consider_negative_labels),
+                    mv_merged=bool(getattr(opt, "mv_merged", 0)))
             return scfg_of[wh]
 
         stack = []

@@ -106,8 +106,9 @@ def test_mv_merged_matches_per_view(rng, group_max):
 
 
 def test_semantic_step_uses_merged_path(rng):
-    """semantic_train_step with a VisitBinningCache MV block routes through
-    the merged path and stays finite/trainable end-to-end."""
+    """semantic_train_step with mv_merged=True and a VisitBinningCache MV
+    block routes through the merged path and stays finite/trainable
+    end-to-end (the default routes through the per-view path)."""
     from instascene_tpu.models.optimizer import init_adam_state
     from instascene_tpu.config import OptimizationParams
     from instascene_tpu.models.optimizer import semantic_lrs
@@ -132,7 +133,8 @@ def test_semantic_step_uses_merged_path(rng):
                          lam_sv=jnp.float32(1e-3), lam_mv=jnp.float32(1e-3),
                          lam_3d=jnp.float32(1e-3),
                          seg3d_labels=jnp.ones(params.capacity, jnp.int32))
-    scfg = SemanticStepConfig(raster=cfg, batch=256, max_labels=8)
+    scfg = SemanticStepConfig(raster=cfg, batch=256, max_labels=8,
+                              mv_merged=True)
     p2, opt_state, loss, _ = semantic_train_step(
         params, init_adam_state(params), jax.random.PRNGKey(0), cam, mv,
         hyp, scfg)
