@@ -99,6 +99,12 @@ class OptimizationParams:
     # (probe_mv_merge: 5.7x a plain step vs 4.6x separate), so default off;
     # kept because the crossover favors it for narrower/taller windows.
     mv_merged: int = 0
+    # TPU addition (no reference flag): sparse-pixel extras kernels for the
+    # contrastive step (ops/blend_sparse — only the drawn pixels blend, with
+    # a lax.cond dense fallback on slot overflow). Exact; default off: the
+    # first formulation measured slower than the dense sampled-done path
+    # (docs/PERFORMANCE.md round 5).
+    sparse_px: int = 0
     percent_dense: float = 0.01
     lambda_dssim: float = 0.2
     lambda_dist: float = 0.0

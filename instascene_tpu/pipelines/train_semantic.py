@@ -112,7 +112,8 @@ def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
                               lam_3d, batch, max_labels,
                               consider_negative: bool, has_sampler: bool,
                               seg_samp, sorted_samp, vis3d_samp,
-                              tile: int = 16, sv_draws=None):
+                              tile: int = 16, sv_draws=None,
+                              fetch_override=None, visible_override=None):
     """Single-view ProtoNCE on [raw/filtered, sorted] segmaps + 3D ProtoNCE
     over visible gaussians (reference train_semantic.py:108-141, :175-195).
     `out` is the camera's feature render. Shared by the single-chip step and
@@ -126,11 +127,16 @@ def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
 
     sv_draws: pre-drawn pixel index sets from _draw_sv_pixel_idx (the
     sampled-done fast path draws before rendering); the key is then advanced
-    by the same splits so the 3D draw below stays bit-identical."""
+    by the same splits so the 3D draw below stays bit-identical.
+    fetch_override(set_index, idx) -> [batch, E] replaces the map fetch
+    (sparse-pixel path); visible_override replaces out.visible (out may
+    then be None)."""
     H, W = segmap.shape
-    ext_tiles = out.blend.extra_tiles
+    ext_tiles = out.blend.extra_tiles if out is not None else None
 
-    def fetch(idx):
+    def fetch(si, idx):
+        if fetch_override is not None:
+            return fetch_override(si, idx)
         if ext_tiles is None:
             return out.blend.extra.reshape(-1, seg_feature.shape[1])[idx]
         grid_x = (W + tile - 1) // tile
@@ -149,9 +155,10 @@ def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
     total = 0.0
     seg_list = ([(segmap, 0)] if cf is None
                 else [(segmap, 0), (sorted_segmap, 1)])
-    for (seg, mask_type), (idx, any_valid, neg) in zip(seg_list, sv_draws):
+    for si, ((seg, mask_type), (idx, any_valid, neg)) in enumerate(
+            zip(seg_list, sv_draws)):
         labels_flat = seg.reshape(-1)
-        f = fetch(idx)
+        f = fetch(si, idx)
         l = labels_flat[idx]
         weight = 1.0 if mask_type == 1 else 0.5
         cl = contrastive_loss(f, l, max_labels,
@@ -166,8 +173,10 @@ def single_view_and_3d_losses(params, seg_feature, out, key, segmap,
     if has_sampler:
         idx, any_valid = sample_from_ids(sub, vis3d_samp, batch)
     else:
-        idx, any_valid = sample_valid_pixels(
-            sub, out.visible & (seg3d_labels > 0), batch)
+        vis = visible_override if visible_override is not None \
+            else out.visible
+        idx, any_valid = sample_valid_pixels(sub, vis & (seg3d_labels > 0),
+                                             batch)
     f3 = seg_feature[idx]
     f3 = f3 / (jnp.linalg.norm(f3, axis=1, keepdims=True) + 1e-6)
     cl = contrastive_loss(f3, seg3d_labels[idx], max_labels,
@@ -226,6 +235,11 @@ class SemanticStepConfig:
     consider_negative: bool = False
     # opt-in: merged virtual-image MV launches (see config.mv_merged)
     mv_merged: bool = False
+    # opt-in: sparse-pixel extras kernels (ops/blend_sparse; config.sparse_px)
+    # — measured slower than the dense sampled-done path at bench scale in
+    # its first formulation (grid-step overhead dominates the shrunken
+    # VPU work); kept for further tuning
+    sparse_px: bool = False
 
 
 def _mv_tile_subsample_loss(params, seg_feature, mv: "SemanticMVBlock",
@@ -392,19 +406,71 @@ def _mv_full_loss_merged(params, seg_feature, mv: "SemanticMVBlock", key,
     return jnp.where(any_valid, cl, 0.0)
 
 
+def _sparse_view_feats(params, featn, w2v, full_proj, campos, cb,
+                       cfg: RasterizeConfig, spix):
+    """One view's sparse-pixel feature render (ops/blend_sparse): returns
+    (feat [T, S, E], visible [N] bool). cb is a cached visit bundle with
+    chain-reduce indices (VisitBinningCache or its first 9 fields)."""
+    from ..ops.blend_pallas import pack_flat_cols
+    from ..ops.blend_sparse import blend_sparse_diff
+    from ..ops.preprocess import preprocess_gaussians
+    pre = preprocess_gaussians(
+        params.xyz, params.scaling_activated(),
+        params.rotation_normalized(), w2v, full_proj, campos,
+        cfg.width, cfg.height, color=params.xyz * 0.0, tile=cfg.tile,
+        alive=params.alive)
+    flat = pack_flat_cols(pre.T, pre.xy, pre.normal_view,
+                          params.opacity_activated()[:, 0], pre.color,
+                          featn)
+    grid_x = (cfg.width + cfg.tile - 1) // cfg.tile
+    grid_y = (cfg.height + cfg.tile - 1) // cfg.tile
+    interp = jax.default_backend() == "cpu"
+    feat, _aux = blend_sparse_diff(flat, tuple(cb)[:9], spix,
+                                   grid_x * grid_y, cfg.tile, grid_x,
+                                   featn.shape[1], interp, cfg.pallas_chunk)
+    return feat, pre.valid & (pre.radius > 0)
+
+
+def _mv_full_loss_sparse(params, seg_feature, featn, mv: "SemanticMVBlock",
+                         draw, cf, batch: int, max_labels: int,
+                         cfg: RasterizeConfig, spix_v, t_of, slot_of):
+    """Reference-exact multi-view ProtoNCE through per-view SPARSE renders:
+    only the drawn pixels blend (ops/blend_sparse — bit-identical values).
+    draw = (idx, any_valid) from the shared pre-render sampling; spix_v /
+    t_of / slot_of from spix_from_idx per view."""
+    n_mv = mv.w2v.shape[0]
+    idx, any_valid = draw
+    HW = cfg.height * cfg.width
+    view_of = idx // HW
+    f_mv = 0.0
+    for v in range(n_mv):
+        cb = jax.tree.map(lambda a: a[v], mv.binning)
+        feat_v, _vis = _sparse_view_feats(params, featn, mv.w2v[v],
+                                          mv.full_proj[v], mv.campos[v],
+                                          cb, cfg, spix_v[v])
+        fv = feat_v[t_of, slot_of, :]                     # [batch, E]
+        f_mv = f_mv + jnp.where((view_of == v)[:, None], fv, 0.0)
+    labels_mv = mv.segmaps.reshape(-1)
+    cl = contrastive_loss(f_mv, labels_mv[idx], max_labels, predef_u=cf)
+    return jnp.where(any_valid, cl, 0.0)
+
+
 def _mv_full_loss(params, seg_feature, mv: "SemanticMVBlock", key, cf,
                   bg, batch: int, max_labels: int, cfg: RasterizeConfig,
-                  sampled_done: bool = False):
+                  sampled_done: bool = False, draw=None):
     """Reference-exact multi-view ProtoNCE: render all n_mv full views
     (train_semantic.py:145-172). sampled_done (pallas visit caches): the
     batch pixels are drawn BEFORE rendering (they depend only on the
     segmaps) and each view renders with a done mask latching every
     unsampled pixel — the sampled features are bit-identical while the
     extras kernels skip almost all tile work (~2-3 sampled pixels per tile
-    at the reference batch size)."""
+    at the reference batch size). draw: externally pre-drawn
+    (idx, any_valid) (the fast path shares one draw across cond
+    branches)."""
     n_mv = mv.w2v.shape[0]
     labels_mv = mv.segmaps.reshape(-1)
-    idx, any_valid = sample_valid_pixels(key, labels_mv > 0, batch)
+    idx, any_valid = (draw if draw is not None
+                      else sample_valid_pixels(key, labels_mv > 0, batch))
     HW = cfg.height * cfg.width
     view_of = idx // HW
     pix = idx % HW
@@ -461,54 +527,155 @@ def semantic_train_step(params, opt_state, key, cam: SemanticCamera,
     has_sampler = cam.seg_samp is not None
 
     from ..ops.rasterize import VisitBinningCache
-    # sampled-done fast path: the losses read the render at sampled pixels
-    # only, so unsampled pixels pre-latch 'done' and the extras kernels
-    # skip most visit work — bit-identical losses (test_sampled_done.py).
-    # Visit-layout (pallas) caches only.
+    # sparse-pixel fast path (visit-layout caches): the losses read the
+    # render at sampled pixels only, the draws depend only on segmaps, so
+    # the pixels are drawn FIRST and only they blend (ops/blend_sparse —
+    # bit-identical values/grads, tests/test_blend_sparse.py). Tiles whose
+    # draw count overflows the static slot budget S (a ~6-sigma Poisson
+    # tail) flip a flag and lax.cond falls back to the dense sampled-done
+    # render — exactness never depends on the tail bound.
+    use_fast = scfg.sparse_px and isinstance(cam.binning, VisitBinningCache)
     use_done = isinstance(cam.binning, VisitBinningCache)
+    mv_full = mv is not None and mv.sel_tiles is None
+    mv_merged = (scfg.mv_merged and mv_full
+                 and isinstance(mv.binning, VisitBinningCache))
 
     def loss_fn(seg_feature):
         mv_trunc = jnp.int32(0)
         k, k_sv = jax.random.split(key)
-        sv_draws = done0 = None
-        if use_done:
-            sv_draws, _ = _draw_sv_pixel_idx(
-                k_sv, cam.segmap, cam.sorted_segmap, cf, batch,
-                scfg.consider_negative, has_sampler, cam.seg_samp,
-                cam.sorted_samp)
-            done0 = _done0_from_idx([d[0] for d in sv_draws],
-                                    cfg.width, cfg.height, cfg.tile)
-        out = render_features(params, cam_m, hyp.bg, cfg, seg_feature,
-                              cam.binning, done0=done0)
-        total = single_view_and_3d_losses(
-            params, seg_feature, out, k_sv, cam.segmap, cam.sorted_segmap,
-            hyp.seg3d_labels, cf, hyp.lam_sv, hyp.lam_3d, batch, max_labels,
-            scfg.consider_negative, has_sampler, cam.seg_samp,
-            cam.sorted_samp, cam.vis3d_samp, tile=cfg.tile,
-            sv_draws=sv_draws)
+        if not use_fast:
+            # dense path: XLA layout caches / CPU backend render plainly;
+            # visit caches use the sampled-done masks (bit-exact,
+            # tests/test_sampled_done.py)
+            sv_draws = done0 = None
+            if use_done:
+                sv_draws, _ = _draw_sv_pixel_idx(
+                    k_sv, cam.segmap, cam.sorted_segmap, cf, batch,
+                    scfg.consider_negative, has_sampler, cam.seg_samp,
+                    cam.sorted_samp)
+                done0 = _done0_from_idx([d[0] for d in sv_draws],
+                                        cfg.width, cfg.height, cfg.tile)
+            out = render_features(params, cam_m, hyp.bg, cfg, seg_feature,
+                                  cam.binning, done0=done0)
+            total = single_view_and_3d_losses(
+                params, seg_feature, out, k_sv, cam.segmap,
+                cam.sorted_segmap, hyp.seg3d_labels, cf, hyp.lam_sv,
+                hyp.lam_3d, batch, max_labels, scfg.consider_negative,
+                has_sampler, cam.seg_samp, cam.sorted_samp, cam.vis3d_samp,
+                tile=cfg.tile, sv_draws=sv_draws)
+            if mv is not None and mv.sel_tiles is not None:
+                k2, sub = jax.random.split(k)
+                cl, mv_trunc2 = _mv_tile_subsample_loss(
+                    params, seg_feature, mv, sub, cf, batch, max_labels,
+                    cfg)
+                return total + cl * hyp.lam_mv, mv_trunc2
+            if mv is not None:
+                k2, sub = jax.random.split(k)
+                if scfg.mv_merged and isinstance(mv.binning,
+                                                 VisitBinningCache):
+                    cl = _mv_full_loss_merged(params, seg_feature, mv, sub,
+                                              cf, batch, max_labels, cfg)
+                else:
+                    cl = _mv_full_loss(params, seg_feature, mv, sub, cf,
+                                       hyp.bg, batch, max_labels, cfg,
+                                       sampled_done=use_done)
+                total = total + cl * hyp.lam_mv
+            return total, mv_trunc
 
-        # multi-view over consecutive views every 10th iter (:145-172)
+        from ..ops.blend_sparse import pick_sparse_s, spix_from_idx
+        W, H, tile = cfg.width, cfg.height, cfg.tile
+        grid_x = (W + tile - 1) // tile
+        T = grid_x * ((H + tile - 1) // tile)
+
+        # draw every pixel set first (shared verbatim by both cond branches)
+        sv_draws, _ = _draw_sv_pixel_idx(
+            k_sv, cam.segmap, cam.sorted_segmap, cf, batch,
+            scfg.consider_negative, has_sampler, cam.seg_samp,
+            cam.sorted_samp)
+        idx_all = jnp.concatenate([d[0] for d in sv_draws])
+        S_sv = pick_sparse_s(int(idx_all.shape[0]), T)
+        spix_sv, t_of, slot_of, overflow = spix_from_idx(
+            idx_all, W, H, tile, S_sv)
+
+        mv_draw = mv_pack = None
+        sub_cl = None
+        if mv is not None:
+            k, sub = jax.random.split(k)
         if mv is not None and mv.sel_tiles is not None:
-            k, sub = jax.random.split(k)
-            cl, mv_trunc = _mv_tile_subsample_loss(
+            sub_cl, mv_trunc = _mv_tile_subsample_loss(
                 params, seg_feature, mv, sub, cf, batch, max_labels, cfg)
-            total = total + cl * hyp.lam_mv
-        elif mv is not None:
-            k, sub = jax.random.split(k)
-            if scfg.mv_merged and isinstance(mv.binning, VisitBinningCache):
-                # opt-in (config.mv_merged): merged virtual-image launches —
-                # one gather + one fwd/bwd kernel per view GROUP instead of
-                # five separate full renders (f32-exact parity,
-                # tests/test_mv_merged.py). Default OFF: measured slower at
-                # bench scale (probe_mv_merge, docs/PERFORMANCE.md).
-                cl = _mv_full_loss_merged(params, seg_feature, mv, sub, cf,
-                                          batch, max_labels, cfg)
-            else:
-                cl = _mv_full_loss(
-                    params, seg_feature, mv, sub, cf, hyp.bg, batch,
-                    max_labels, cfg,
-                    sampled_done=isinstance(mv.binning, VisitBinningCache))
-            total = total + cl * hyp.lam_mv
+        if mv_full:
+            n_mv = mv.w2v.shape[0]
+            mv_draw = sample_valid_pixels(sub, mv.segmaps.reshape(-1) > 0,
+                                          batch)
+            HW = H * W
+            view_of = mv_draw[0] // HW
+            pix = mv_draw[0] % HW
+            S_mv = pick_sparse_s(batch, n_mv * T)
+            spix_l, tl, sl = [], None, None
+            for v in range(n_mv):
+                sp_v, t_v, s_v, ov = spix_from_idx(
+                    pix, W, H, tile, S_mv, valid=view_of == v)
+                overflow = overflow | ov
+                spix_l.append(sp_v)
+                # the per-view (t, slot) agree wherever that view owns the
+                # sample; merge by ownership for one shared fetch table
+                tl = t_v if tl is None else jnp.where(view_of == v, t_v, tl)
+                sl = s_v if sl is None else jnp.where(view_of == v, s_v, sl)
+            mv_pack = (spix_l, tl, sl)
+
+        def dense_branch(feat):
+            done0 = _done0_from_idx([d[0] for d in sv_draws], W, H, tile)
+            out = render_features(params, cam_m, hyp.bg, cfg, feat,
+                                  cam.binning, done0=done0)
+            total = single_view_and_3d_losses(
+                params, feat, out, k_sv, cam.segmap, cam.sorted_segmap,
+                hyp.seg3d_labels, cf, hyp.lam_sv, hyp.lam_3d, batch,
+                max_labels, scfg.consider_negative, has_sampler,
+                cam.seg_samp, cam.sorted_samp, cam.vis3d_samp,
+                tile=cfg.tile, sv_draws=sv_draws)
+            if mv_full:
+                cl = (_mv_full_loss_merged(params, feat, mv, sub, cf, batch,
+                                           max_labels, cfg) if mv_merged
+                      else _mv_full_loss(params, feat, mv, sub, cf, hyp.bg,
+                                         batch, max_labels, cfg,
+                                         sampled_done=True, draw=mv_draw))
+                total = total + cl * hyp.lam_mv
+            return total
+
+        def sparse_branch(feat):
+            featn = feat / (jnp.linalg.norm(feat, axis=1, keepdims=True)
+                            + 1e-6)
+            feat_sv, visible = _sparse_view_feats(
+                params, featn, cam.w2v, cam.full_proj, cam.campos,
+                cam.binning, cfg, spix_sv)
+
+            def fetch(si, _idx):
+                sl_ = slice(si * batch, (si + 1) * batch)
+                return feat_sv[t_of[sl_], slot_of[sl_], :]
+
+            total = single_view_and_3d_losses(
+                params, feat, None, k_sv, cam.segmap, cam.sorted_segmap,
+                hyp.seg3d_labels, cf, hyp.lam_sv, hyp.lam_3d, batch,
+                max_labels, scfg.consider_negative, has_sampler,
+                cam.seg_samp, cam.sorted_samp, cam.vis3d_samp,
+                tile=cfg.tile, sv_draws=sv_draws, fetch_override=fetch,
+                visible_override=visible)
+            if mv_full:
+                cl = _mv_full_loss_sparse(
+                    params, feat, featn, mv, mv_draw, cf, batch,
+                    max_labels, cfg, mv_pack[0], mv_pack[1], mv_pack[2])
+                total = total + cl * hyp.lam_mv
+            return total
+
+        if mv_merged:
+            # merged-MV opt-in keeps its dedicated dense route
+            total = dense_branch(seg_feature)
+        else:
+            total = jax.lax.cond(overflow, dense_branch, sparse_branch,
+                                 seg_feature)
+        if sub_cl is not None:
+            total = total + sub_cl * hyp.lam_mv
         return total, mv_trunc
 
     (loss, mv_trunc), g = jax.value_and_grad(
@@ -862,7 +1029,8 @@ class SegSplatting:
                         extras_dim=int(self.dataset.seg_feat_dim)),
                     batch=int(opt.sample_batchsize), max_labels=max_labels,
                     consider_negative=bool(opt.consider_negative_labels),
-                    mv_merged=bool(getattr(opt, "mv_merged", 0)))
+                    mv_merged=bool(getattr(opt, "mv_merged", 0)),
+                    sparse_px=bool(getattr(opt, "sparse_px", 0)))
             return scfg_of[wh]
 
         stack = []
