@@ -407,7 +407,7 @@ def _mv_full_loss_merged(params, seg_feature, mv: "SemanticMVBlock", key,
 
 
 def _sparse_view_feats(params, featn, w2v, full_proj, campos, cb,
-                       cfg: RasterizeConfig, spix):
+                       cfg: RasterizeConfig, spix, S: int):
     """One view's sparse-pixel feature render (ops/blend_sparse): returns
     (feat [T, S, E], visible [N] bool). cb is a cached visit bundle with
     chain-reduce indices (VisitBinningCache or its first 9 fields)."""
@@ -427,13 +427,15 @@ def _sparse_view_feats(params, featn, w2v, full_proj, campos, cb,
     interp = jax.default_backend() == "cpu"
     feat, _aux = blend_sparse_diff(flat, tuple(cb)[:9], spix,
                                    grid_x * grid_y, cfg.tile, grid_x,
-                                   featn.shape[1], interp, cfg.pallas_chunk)
+                                   featn.shape[1], interp, cfg.pallas_chunk,
+                                   S)
     return feat, pre.valid & (pre.radius > 0)
 
 
 def _mv_full_loss_sparse(params, seg_feature, featn, mv: "SemanticMVBlock",
                          draw, cf, batch: int, max_labels: int,
-                         cfg: RasterizeConfig, spix_v, t_of, slot_of):
+                         cfg: RasterizeConfig, spix_v, t_of, slot_of,
+                         S: int):
     """Reference-exact multi-view ProtoNCE through per-view SPARSE renders:
     only the drawn pixels blend (ops/blend_sparse — bit-identical values).
     draw = (idx, any_valid) from the shared pre-render sampling; spix_v /
@@ -447,7 +449,7 @@ def _mv_full_loss_sparse(params, seg_feature, featn, mv: "SemanticMVBlock",
         cb = jax.tree.map(lambda a: a[v], mv.binning)
         feat_v, _vis = _sparse_view_feats(params, featn, mv.w2v[v],
                                           mv.full_proj[v], mv.campos[v],
-                                          cb, cfg, spix_v[v])
+                                          cb, cfg, spix_v[v], S)
         fv = feat_v[t_of, slot_of, :]                     # [batch, E]
         f_mv = f_mv + jnp.where((view_of == v)[:, None], fv, 0.0)
     labels_mv = mv.segmaps.reshape(-1)
@@ -648,7 +650,7 @@ def semantic_train_step(params, opt_state, key, cam: SemanticCamera,
                             + 1e-6)
             feat_sv, visible = _sparse_view_feats(
                 params, featn, cam.w2v, cam.full_proj, cam.campos,
-                cam.binning, cfg, spix_sv)
+                cam.binning, cfg, spix_sv, S_sv)
 
             def fetch(si, _idx):
                 sl_ = slice(si * batch, (si + 1) * batch)
@@ -664,7 +666,8 @@ def semantic_train_step(params, opt_state, key, cam: SemanticCamera,
             if mv_full:
                 cl = _mv_full_loss_sparse(
                     params, feat, featn, mv, mv_draw, cf, batch,
-                    max_labels, cfg, mv_pack[0], mv_pack[1], mv_pack[2])
+                    max_labels, cfg, mv_pack[0], mv_pack[1], mv_pack[2],
+                    S_mv)
                 total = total + cl * hyp.lam_mv
             return total
 

@@ -30,12 +30,12 @@ def _featn(params):
 
 def test_spix_from_idx_packs_all_samples(rng):
     from instascene_tpu.ops.blend_sparse import pick_sparse_s, spix_from_idx
-    idx = jnp.asarray(rng.integers(0, H * W, 300).astype(np.int32))
+    idx = jnp.asarray(rng.integers(0, H * W, 150).astype(np.int32))
     grid_x = (W + 15) // 16
-    S = pick_sparse_s(300, grid_x * ((H + 15) // 16))
+    S = pick_sparse_s(150, grid_x * ((H + 15) // 16))
     spix, t_of, slot_of, overflow = spix_from_idx(idx, W, H, 16, S)
     assert not bool(overflow)
-    sp = np.asarray(spix)[:, :, 0]
+    sp = np.asarray(spix)[:, 0, :]
     t_np, s_np = np.asarray(t_of), np.asarray(slot_of)
     y, x = np.asarray(idx) // W, np.asarray(idx) % W
     grid_x = (W + 15) // 16
@@ -77,7 +77,7 @@ def test_sparse_matches_dense_values_and_grads(rng):
         featn = feat / (jnp.linalg.norm(feat, axis=1, keepdims=True) + 1e-6)
         fo, _vis = _sparse_view_feats(params, featn, mv.w2v[0],
                                       mv.full_proj[0], mv.campos[0], cb,
-                                      cfg, spix)
+                                      cfg, spix, S)
         f = fo[t_of, slot_of, :]
         return jnp.sum((f - tgt) ** 2)
 
@@ -124,7 +124,8 @@ def test_mv_sparse_loss_matches_dense(rng):
     def sparse(feat):
         featn = feat / (jnp.linalg.norm(feat, axis=1, keepdims=True) + 1e-6)
         return _mv_full_loss_sparse(params, feat, featn, mv, draw, None,
-                                    batch, max_labels, cfg, spix_l, tl, sl)
+                                    batch, max_labels, cfg, spix_l, tl, sl,
+                                    S)
 
     l_d, g_d = jax.jit(jax.value_and_grad(dense))(params.seg_feature)
     l_s, g_s = jax.jit(jax.value_and_grad(sparse))(params.seg_feature)
