@@ -88,40 +88,54 @@ def main():
           f"{ms * 1e6 / rows:.2f} ns/row", flush=True)
 
     # ---------------- Pallas per-row DMA gather ---------------------------
-    n_chunks = rows // CHUNK
+    # Mosaic requires DMA slices lane-aligned: pad the table to 128 columns
+    # (the probe stays honest — the measured quantity is the per-descriptor
+    # ISSUE rate, which is width-independent at these sizes)
+    DP = 128
+    flat_p = jnp.pad(flat, ((0, 0), (0, DP - D)))
+    rows_dma = (rows // 1024) * 1024
+    gid = gid[:rows_dma]
+    n_chunks = rows_dma // CHUNK
 
-    def dma_kernel(sgid_ref, flat_ref, out_ref, sems):
-        def start(j, _):
-            g = sgid_ref[j]
-            pltpu.make_async_copy(
-                flat_ref.at[pl.ds(g, 1), :],
-                out_ref.at[pl.ds(j, 1), :],
-                sems.at[j],
-            ).start()
-            return 0
-        jax.lax.fori_loop(0, CHUNK, start, 0)
+    BLK = 1024      # XLA lays the id vector out in 1024-element tiles
 
-        def wait(j, _):
-            g = sgid_ref[j]
-            pltpu.make_async_copy(
-                flat_ref.at[pl.ds(g, 1), :],
-                out_ref.at[pl.ds(j, 1), :],
-                sems.at[j],
-            ).wait()
+    def dma_kernel(sgid_ref, flat_ref, out_ref, scratch, sems):
+        def outer(b, _):
+            def start(j, _):
+                g = sgid_ref[b * CHUNK + j]
+                pltpu.make_async_copy(
+                    flat_ref.at[pl.ds(g, 8), :],
+                    scratch.at[j],
+                    sems.at[j],
+                ).start()
+                return 0
+            jax.lax.fori_loop(0, CHUNK, start, 0)
+
+            def wait(j, _):
+                g = sgid_ref[b * CHUNK + j]
+                pltpu.make_async_copy(
+                    flat_ref.at[pl.ds(g, 8), :],
+                    scratch.at[j],
+                    sems.at[j],
+                ).wait()
+                out_ref[pl.ds(b * CHUNK + j, 1), :] = scratch[j, 0:1, :]
+                return 0
+            jax.lax.fori_loop(0, CHUNK, wait, 0)
             return 0
-        jax.lax.fori_loop(0, CHUNK, wait, 0)
+        jax.lax.fori_loop(0, BLK // CHUNK, outer, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(n_chunks,),
+        grid=(rows_dma // 1024,),
         in_specs=[
-            pl.BlockSpec((CHUNK,), lambda i: (i,),
+            pl.BlockSpec((1024,), lambda i: (i,),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((CHUNK, D), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1024, DP), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((CHUNK,))],
+        scratch_shapes=[pltpu.VMEM((CHUNK, 8, DP), jnp.float32),
+                        pltpu.SemaphoreType.DMA((CHUNK,))],
     )
 
     @jax.jit
@@ -130,7 +144,7 @@ def main():
         packed = pl.pallas_call(
             dma_kernel,
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((rows, D), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((rows_dma, DP), jnp.float32),
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
         )(g, flat)
         return jnp.sum(packed) * 1e-20 + s + 1.0
@@ -138,22 +152,23 @@ def main():
     box2 = [jnp.float32(0)]
 
     def run_pallas():
-        box2[0] = pallas_gather(box2[0], flat, gid)
+        box2[0] = pallas_gather(box2[0], flat_p, gid)
         return box2[0]
 
-    # correctness first
-    ref = np.asarray(flat[gid])
+    # correctness first (clamp ids so the 8-row aligned read stays in range)
+    gid = jnp.minimum(gid, N - 8)
+    ref = np.asarray(flat_p[gid])
     got = np.asarray(pl.pallas_call(
         dma_kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows_dma, DP), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(gid, flat))
+    )(gid, flat_p))
     assert np.array_equal(ref, got), "DMA gather wrong"
     print("DMA gather output exact", flush=True)
 
-    ms2 = timed_ms(run_pallas)
-    print(f"Pallas per-row DMA gather {rows} x {D}: {ms2:.2f} ms = "
-          f"{ms2 * 1e6 / rows:.2f} ns/row "
+    ms2 = timed_ms(lambda: run_pallas())
+    print(f"Pallas per-row DMA gather {rows_dma} x {DP}: {ms2:.2f} ms = "
+          f"{ms2 * 1e6 / rows_dma:.2f} ns/row "
           f"({ms2 / ms:.2f}x the XLA gather)", flush=True)
 
     # the sum(packed) consumer adds a full [rows, D] read; measure it alone
