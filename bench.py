@@ -241,7 +241,9 @@ def bench_semantic(params, make_cam, width=976, height=728, iters=20,
             params, CameraMats(ct.w2v, ct.full_proj, ct.campos),
             width, height, tile_cap=128, impl="xla")
         max_pairs = max(max_pairs, int(jnp.sum(tc)))
-    snug_cap = max(128 * 1024, (int(max_pairs * 1.1) + 1023) // 1024 * 1024)
+    # mirrors SegSplatting._precompute_binning's sizing (1.02x: geometry is
+    # frozen so the probed totals are exact; round 5 — was 1.1x)
+    snug_cap = max(128 * 1024, (int(max_pairs * 1.02) + 1023) // 1024 * 1024)
     cfg = RasterizeConfig(width=width, height=height, bwd_extras_only=True,
                           extras_dim=16)
     from instascene_tpu.semantic.contrastive import valid_ids_pack

@@ -806,12 +806,13 @@ class SegSplatting:
             max_count = max(max_count, int(jnp.max(tc)))
             max_pairs = max(max_pairs, int(jnp.sum(tc)))
         k = max(128, (max_count + 127) // 128 * 128)
-        # snug 1.1x cap at 1k granularity: the hot loop's pack gather and
+        # near-exact cap at 1k granularity: the hot loop's pack gather and
         # backward chain-reduce run over pair_cap rows every step (measured
         # 11 ms/step difference between a 1.54x and a 1.05x cap at waldo
-        # scale on v5e); geometry is frozen, so the probed totals are exact
+        # scale on v5e); geometry is FROZEN, so the probed per-camera totals
+        # are exact and only rounding margin is needed (round 5: was 1.1x)
         pair_cap = max(128 * 1024,
-                       (int(max_pairs * 1.1) + 1023) // 1024 * 1024)
+                       (int(max_pairs * 1.02) + 1023) // 1024 * 1024)
         impl = getattr(self.pipe, "rasterizer_impl", "auto")
         edim = int(self.dataset.seg_feat_dim)  # true gather width: 21 + E
         cache = []
