@@ -97,9 +97,8 @@ def main():
 
         # chain reduce alone (bwd reduction): gather+cumsum+segment-diff
         gid_order, goff, gcs = cb.gid_order, cb.gauss_offsets, cb.gauss_csum
-        d_sorted = jnp.asarray(rng.standard_normal((cap, E)).astype(np.f4)
-                               if hasattr(np, 'f4') else
-                               rng.standard_normal((cap, E)).astype(np.float32))
+        d_sorted = jnp.asarray(
+            rng.standard_normal((cap, E)).astype(np.float32))
 
         @jax.jit
         def chain(s, d):
